@@ -1,0 +1,155 @@
+"""PARSE_SPEC v1 — the single source of truth for parse semantics.
+
+This module pins the HTML-to-text grammar and sentence-boundary splitter
+that the whole engine (Spark pandas-UDF path, pure-Python oracle, fixture
+generator, DuckDB oracle arithmetic) shares. Byte-identity between any two
+of those paths can therefore only fail on plumbing bugs, never spec drift.
+
+Provenance: /root/reference was empty at survey time (SURVEY.md §0), so the
+reference parser's exact regexes are unavailable; SURVEY.md §2.2 pins this
+deterministic, locale-free spec instead. If the reference materializes,
+regenerate goldens from it and bump PARSE_SPEC_VERSION.
+
+Pure Python + `re` only — importable on executors without Spark.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+PARSE_SPEC_VERSION = 1
+
+# --- tag grammar (SURVEY.md §2.2 items 2-4) -------------------------------
+H1_RE = re.compile(r"<h1[^>]*>(.*?)</h1>", re.S | re.I)
+TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
+H23_RE = re.compile(r"<(h[23])[^>]*>(.*?)</\1>", re.S | re.I)
+P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I)
+TAG_STRIP_RE = re.compile(r"<[^>]+>")
+WS_RE = re.compile(r"\s+")
+
+# Decoded in this order; &amp; LAST so "&amp;lt;" -> "&lt;" not "<".
+ENTITY_DECODE = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+# --- sentence boundary (SURVEY.md §2.2 item 6) ----------------------------
+SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+# A split is suppressed when the text before the boundary ends with one of
+# these abbreviations (case-sensitive, matched against the raw tail).
+ABBREVIATIONS = ("e.g.", "i.e.", "Mr.", "Mrs.", "Ms.", "Dr.", "vs.", "etc.")
+
+# --- assembly (SURVEY.md §2.2 item 5) --------------------------------------
+# extracted_text = EXTRACT_JOINER.join(non-empty [title] + headings + paragraphs)
+# A single space: the fixture ground-truth `documents.text` is single-space
+# separated, so this joiner closes the render->parse round trip byte-exactly.
+EXTRACT_JOINER = " "
+
+# --- fixture-generator layout (FIXTURES.md §B) -----------------------------
+TITLE_WORDS = 8          # words 0..8  -> <h1> (and <title>)
+HEADING_WORDS = 4        # words 8..12 -> first <h2>, 12..16 -> second <h2>
+N_HEADINGS = 2
+BODY_START = TITLE_WORDS + N_HEADINGS * HEADING_WORDS  # 16
+PARA_WORDS = 40          # words 16.. chunked into <p> of <=40 words
+
+URL_TEMPLATE = "https://{source}.example.com/post/{doc_id}"
+WARC_TS_BASE = "2024-01-01"  # + (doc_id % 90) days + (doc_id % 86400) seconds
+WARC_TS_DAY_MOD = 90
+WARC_TS_SEC_MOD = 86400
+
+
+def normalize_fragment(raw: str) -> str:
+    """Strip inner tags, decode entities, collapse whitespace, strip ends."""
+    s = TAG_STRIP_RE.sub("", raw)
+    for ent, ch in ENTITY_DECODE:
+        s = s.replace(ent, ch)
+    return WS_RE.sub(" ", s).strip()
+
+
+def split_sentences(paragraph: str) -> list[str]:
+    """Deterministic, locale-free sentence split with abbreviation guard.
+
+    Segments produced by SENTENCE_SPLIT_RE are re-merged (joined with a
+    single space) when the accumulated text ends with a guarded
+    abbreviation. Empty segments are dropped.
+    """
+    out: list[str] = []
+    for seg in SENTENCE_SPLIT_RE.split(paragraph):
+        if not seg:
+            continue
+        if out and out[-1].endswith(ABBREVIATIONS):
+            out[-1] = out[-1] + " " + seg
+        else:
+            out.append(seg)
+    return out
+
+
+class Parsed(NamedTuple):
+    title: str
+    headings: list[str]
+    paragraphs: list[str]
+    extracted_text: str
+    n_sentences: int
+    parse_ok: bool
+    parse_err: str | None
+
+
+def parse_document(html: bytes | None) -> Parsed:
+    """PARSE_SPEC v1 over one document's html bytes.
+
+    Decode failures (or NULL html) yield parse_ok=False with empty fields —
+    the row is counted in parse-failure metrics, never silently dropped.
+    """
+    if html is None:
+        return Parsed("", [], [], "", 0, False, "null html")
+    try:
+        doc = html.decode("utf-8", errors="strict")
+    except UnicodeDecodeError as e:
+        return Parsed("", [], [], "", 0, False, f"utf-8 decode: {e.reason} at byte {e.start}")
+
+    m = H1_RE.search(doc) or TITLE_RE.search(doc)
+    title = normalize_fragment(m.group(1)) if m else ""
+    headings = [normalize_fragment(g[1]) for g in H23_RE.findall(doc)]
+    headings = [h for h in headings if h]
+    paragraphs = [normalize_fragment(g) for g in P_RE.findall(doc)]
+    paragraphs = [p for p in paragraphs if p]
+
+    parts = [x for x in [title, *headings, *paragraphs] if x]
+    extracted = EXTRACT_JOINER.join(parts)
+    n_sentences = sum(len(split_sentences(p)) for p in paragraphs)
+    return Parsed(title, headings, paragraphs, extracted, n_sentences, True, None)
+
+
+def escape_html(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def render_html(text: str) -> bytes:
+    """Deterministic inverse fixture generator (FIXTURES.md §B `pages.html`).
+
+    Splits `text` into title (first 8 words), two <h2> headings (4 words
+    each), and <p> paragraphs of <=40 words, wrapped in a fixed skeleton.
+    Round-trip invariant: parse_document(render_html(t)).extracted_text == t
+    for any single-space-separated t (the fixture ground truth shape).
+    """
+    words = text.split(" ") if text else []
+    title = " ".join(words[:TITLE_WORDS])
+    h2s = [
+        " ".join(words[TITLE_WORDS + i * HEADING_WORDS: TITLE_WORDS + (i + 1) * HEADING_WORDS])
+        for i in range(N_HEADINGS)
+    ]
+    paras = [
+        " ".join(words[i: i + PARA_WORDS])
+        for i in range(BODY_START, len(words), PARA_WORDS)
+    ]
+    buf = [f"<html><head><title>{escape_html(title)}</title></head><body>"]
+    buf.append(f"<h1>{escape_html(title)}</h1>")
+    buf.extend(f"<h2>{escape_html(h)}</h2>" for h in h2s if h)
+    buf.extend(f"<p>{escape_html(p)}</p>" for p in paras if p)
+    buf.append("</body></html>")
+    return "".join(buf).encode("utf-8")

@@ -1,0 +1,100 @@
+"""PARSE_SPEC v1 unit tests — pure Python, no Spark (SURVEY.md §7 step 1)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from blog_parser_spark import oracle, spec
+from blog_parser_spark.sources.fixtures import adversarial_pages, expected_sentence_counts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _documents(sf_dir: str = SF_DIR) -> list[dict]:
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text, lang, source FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    return [dict(zip(("doc_id", "text", "lang", "source"), r)) for r in rows]
+
+
+def test_round_trip_byte_identity_sf0001():
+    """render_html -> parse_document recovers `text` byte-identically for
+    every fixture document (the flagship per-row invariant, BASELINE.json:15)."""
+    docs = _documents()
+    assert len(docs) == 500
+    for d in docs:
+        p = spec.parse_document(spec.render_html(d["text"]))
+        assert p.parse_ok
+        assert p.extracted_text == d["text"], f"doc_id={d['doc_id']}"
+
+
+def test_round_trip_edge_word_counts():
+    # exercise every layout boundary: 0..3 paragraphs, missing h2s
+    for n in [0, 1, 7, 8, 9, 11, 12, 13, 15, 16, 17, 55, 56, 57, 95, 96, 97, 136, 137]:
+        text = " ".join(f"w{i}" for i in range(n))
+        p = spec.parse_document(spec.render_html(text))
+        assert p.extracted_text == text, f"n_words={n}"
+
+
+def test_adversarial_extractions():
+    for row in adversarial_pages():
+        p = spec.parse_document(row["html"])
+        if row["text"] is None and row["html"] is not None:
+            assert not p.parse_ok, row["url"]
+        elif row["html"] is None:
+            assert not p.parse_ok and p.parse_err == "null html"
+        else:
+            assert p.parse_ok, row["url"]
+            assert p.extracted_text == row["text"], row["url"]
+
+
+def test_sentence_counts():
+    exp = expected_sentence_counts()
+    by_url = {r["url"]: r for r in adversarial_pages()}
+    for url, n in exp.items():
+        p = spec.parse_document(by_url[url]["html"])
+        assert p.n_sentences == n, url
+
+
+def test_sentence_split_guards():
+    assert spec.split_sentences("See e.g. the spec. It works! Done?") == [
+        "See e.g. the spec.", "It works!", "Done?"]
+    assert spec.split_sentences("Mr. Smith went home. He slept.") == [
+        "Mr. Smith went home.", "He slept."]
+    assert spec.split_sentences("") == []
+    assert spec.split_sentences("no terminal punctuation") == ["no terminal punctuation"]
+
+
+def test_entity_decode_order():
+    assert spec.normalize_fragment("&amp;lt;") == "&lt;"
+    assert spec.normalize_fragment("&amp;amp;") == "&amp;"
+    assert spec.normalize_fragment("a&nbsp;&nbsp;b") == "a b"
+
+
+def test_render_deterministic():
+    t = "alpha beta gamma delta " * 20
+    t = t.strip()
+    assert spec.render_html(t) == spec.render_html(t)
+
+
+def test_oracle_pipeline_shapes():
+    docs = _documents()
+    pages = [oracle.document_to_page(d) for d in docs]
+    routed, agg = oracle.run_pipeline(pages)
+    assert len(routed) == 500  # urls unique -> dedup is identity
+    assert all(r["sink"] in oracle.SINKS for r in routed)
+    assert sum(a["docs"] for a in agg) == 500
+    assert sum(a["bytes"] for a in agg) == sum(len(p["html"]) for p in pages)
+    # every routed row's extracted text is byte-identical to ground truth
+    by_url = {oracle.page_url(d["source"], d["doc_id"]): d["text"] for d in docs}
+    for r in routed:
+        assert r["extracted_text"] == by_url[r["url"]]
+
+
+def test_oracle_dedup_latest():
+    rows = [r for r in adversarial_pages() if r["url"] == "https://adv.example.com/dup"]
+    routed, _ = oracle.run_pipeline(rows)
+    assert len(routed) == 1
+    assert routed[0]["extracted_text"] == "New new body"
