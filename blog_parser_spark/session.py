@@ -1,0 +1,57 @@
+"""SparkSession factory with the engine's scale-oriented configuration.
+
+One place for every conf so tests, bench, spark-submit jobs, and the
+driver contract agree. Defaults target local[N] in this sandbox but every
+setting is the one we would ship to a 1000-executor cluster (AQE on,
+skew-join on, Arrow on, UTC sessions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the parse-heavy workload: Arrow batches feed the pandas-UDF
+# parse stage; 10k rows/batch keeps per-batch html payloads ~5-50 MB.
+ARROW_BATCH_ROWS = 10_000
+
+ENGINE_CONFS: dict[str, str] = {
+    # determinism / correctness
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow path for pandas UDFs and toPandas
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),
+    # AQE: runtime re-plan, shuffle-partition coalescing, skew-join split
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # python workers are reused across tasks (amortize interpreter startup)
+    "spark.python.worker.reuse": "true",
+    # broadcast threshold: dims here are tiny; AQE may also demote SMJ
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+}
+
+
+def get_spark(app: str = "blog_parser_spark", master: str | None = None,
+              shuffle_partitions: int | None = None, extra: dict[str, str] | None = None
+              ) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine confs applied.
+
+    master defaults to $SPARK_GRAFT_MASTER or local[$SPARK_GRAFT_CPUS|*].
+    shuffle_partitions defaults to 4x the local core count (AQE coalesces
+    down at runtime; on a real cluster set it ~2-4x total cores).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    b = SparkSession.builder.appName(app).master(master)
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = 4 * n
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
