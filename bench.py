@@ -1,0 +1,111 @@
+"""Benchmark harness (driver-run per round; BASELINE.md protocol).
+
+Materializes the deterministic pages corpus to local parquet ONCE (outside
+timing), then times the headline queries on local[$SPARK_GRAFT_CPUS] at
+$SPARK_GRAFT_SF_DIR. Prints ONE JSON line:
+  {"metric": ..., "value": <flagship sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs": N, "docs_per_sec": ...}
+
+The flagship number is wall-clock of parse→enrich→route→aggregate over the
+materialized pages (scan included, SparkSession startup and input build
+excluded), executed to a noop sink so sink I/O doesn't mask engine time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+MIN_BENCH_DOCS = 60_000
+
+
+def _run(df) -> float:
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def _run_warm(df) -> float:
+    """Second-of-two runs: first pays per-plan codegen/JIT/worker warmup
+    (a one-time constant that vanishes over a 100 TB run), second is the
+    steady-state per-byte cost we are actually sizing."""
+    _run(df)
+    return _run(df)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from blog_parser_spark.session import get_spark
+    from blog_parser_spark.sources import io
+    from blog_parser_spark.plans import pipeline, queries as qreg
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=4 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- input build (deterministic, excluded from timing) ----------------
+    n_docs_raw = io.read_table(spark, sf_dir, "documents").count()
+    replicate = max(1, -(-MIN_BENCH_DOCS // n_docs_raw))
+    pages_path = f"/tmp/bench_pages_sf{sf}_x{replicate}.parquet"
+    if not os.path.exists(pages_path):
+        tmp = pages_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (io.synth_pages(spark, sf_dir, replicate=replicate)
+         .repartition(4 * cpus)
+         .write.mode("overwrite").parquet(tmp))
+        os.rename(tmp, pages_path)
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+
+    # ---- warmup (python worker pool + codegen; full-size so all 4*cpus
+    # workers spawn — a limit() warmup leaves most workers cold) ------------
+    cold = _run(pipeline.flagship(spark, pages, dedup=True))
+
+    timings: dict[str, float] = {}
+
+    # headline: full pipeline, dedup window included (2 shuffles end-to-end);
+    # median of 3 warm runs — the steady state a long-running job sees
+    runs = sorted(_run(pipeline.flagship(spark, pages, dedup=True))
+                  for _ in range(3))
+    timings["flagship_e2e"] = runs[1]
+    # variants that isolate stages
+    timings["parse_route_agg_nodedup"] = _run_warm(
+        pipeline.flagship(spark, pages, dedup=False))
+    timings["flagship_salted"] = _run_warm(
+        pipeline.flagship(spark, pages, dedup=False, salted=True))
+    from blog_parser_spark.operators import parse as parse_ops
+    timings["parse_only"] = _run_warm(parse_ops.parse_pages(pages))
+    timings["sentences_explode"] = _run_warm(
+        parse_ops.explode_sentences(parse_ops.parse_pages(pages)))
+
+    # relational headliners on the raw fixtures
+    qs = qreg.queries()
+    for name in ("join_smj", "agg_rollup", "win_ntile_percent",
+                 "agg_sink_counts"):
+        timings[name] = _run_warm(qs[name](spark, sf_dir))
+
+    flagship = timings["flagship_e2e"]
+    print(json.dumps({
+        "metric": "flagship parse→enrich→route→aggregate wall-clock",
+        "value": round(flagship, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / flagship, 1),
+        "cold_first_run_sec": round(cold, 3),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

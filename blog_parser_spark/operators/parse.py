@@ -80,13 +80,21 @@ def parse_pages(pages: DataFrame, keep_text: bool = False) -> DataFrame:
 
 
 def explode_sentences(parsed: DataFrame) -> DataFrame:
-    """parsed -> sentences(url, para_idx, sent_idx, sentence), order-exact."""
-    paras = parsed.select(
-        "url", F.posexplode("paragraphs").alias("para_idx", "paragraph"))
+    """parsed -> sentences(url, para_idx, sent_idx, sentence), order-exact.
+
+    posexplode_outer (not posexplode) on the UDF output: the non-outer
+    variant makes Catalyst inject a `size(..)>0` pre-filter that references
+    the UDF column and DUPLICATES the ArrowEvalPython stage (2x the Python
+    work — observed 2x wall on sf0.1). Outer explode needs no pre-filter;
+    the null rows (empty arrays) are dropped JVM-side afterwards."""
+    paras = (parsed.select(
+        "url", F.posexplode_outer("paragraphs").alias("para_idx", "paragraph"))
+        .filter(F.col("paragraph").isNotNull()))
     return (paras
             .withColumn("_s", split_sentences_udf("paragraph"))
             .select("url", "para_idx",
-                    F.posexplode("_s").alias("sent_idx", "sentence")))
+                    F.posexplode_outer("_s").alias("sent_idx", "sentence"))
+            .filter(F.col("sentence").isNotNull()))
 
 
 def failure_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:

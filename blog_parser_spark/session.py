@@ -30,6 +30,10 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.python.worker.reuse": "true",
     # broadcast threshold: dims here are tiny; AQE may also demote SMJ
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # local-mode driver hosts all executor threads — default 1g heap would
+    # GC-thrash under 32 cores (on a real cluster this is executor memory)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.maxResultSize": "4g",
 }
 
 
