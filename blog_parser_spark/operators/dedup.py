@@ -1,0 +1,184 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design: every stage is a DataFrame op (explode -> hash -> groupBy ->
+band-bucket self-join); nothing collects to the driver. Hashes are pure
+functions of content (md5-derived), so results are deterministic across
+engines, retries, and partitionings — the DuckDB oracles reproduce them
+bit-for-bit.
+
+MinHash math: h0 = 60-bit word-hash of a shingle; permutation i is
+(A[i] * (h0 % P) + B[i]) % P with P = 2^31 - 1 (products stay < 2^62,
+no int64 overflow in either engine). A/B are fixed constants derived
+from the Knuth multiplicative constant — inlined identically into the
+Spark expressions and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textstats import word_hash
+
+MINHASH_P = (1 << 31) - 1
+N_PERM = 16
+# 16 bands x 1 row: P(candidate | j=0.6) = 1-(1-0.6)^16 ~ 1-4e-7 — total
+# recall at the default threshold; exact-verify prunes the (larger) false-
+# candidate set. At production scale trade recall for candidate volume by
+# raising LSH_ROWS (s-curve steepens, candidates shrink).
+LSH_BANDS = 16
+LSH_ROWS = 1
+PERM_A = [(i * 2654435761 + 1) % MINHASH_P for i in range(1, N_PERM + 1)]
+PERM_B = [(i * 40503 + 12345) % MINHASH_P for i in range(1, N_PERM + 1)]
+
+SHINGLE_K = 3
+SIMHASH_BITS = 32
+
+
+def shingles_col(text_col: str = "text", k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles of a text column (JVM higher-order
+    fns; empty when the doc has < k words)."""
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    return F.array_distinct(F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+    )).otherwise(F.array()))
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content hash: keeper = min id, n_copies.
+    One hash-shuffle; map-side combine collapses duplicates early."""
+    return (docs
+            .withColumn("text_md5", F.md5(F.col(text_col).cast("binary")))
+            .groupBy("text_md5")
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Drop exact duplicates, keeping the min-id row per content hash."""
+    keep = exact_dedup_groups(docs, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
+# --- minhash + LSH -----------------------------------------------------------
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, sig_0..sig_{N_PERM-1}) — one explode + one groupBy."""
+    sh = (docs.select(id_col, F.explode(shingles_col(text_col)).alias("shingle"))
+          .withColumn("h0", word_hash(F.col("shingle")) % MINHASH_P))
+    aggs = [F.min((F.lit(PERM_A[i]) * F.col("h0") + F.lit(PERM_B[i])) % MINHASH_P)
+            .alias(f"sig_{i}") for i in range(N_PERM)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join on (band, band_key): only docs
+    sharing a full band collide — the classic LSH bucket join. Output
+    distinct (id_a < id_b) candidate pairs."""
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws(",", *[
+                     F.col(f"sig_{b * LSH_ROWS + r}").cast("string")
+                     for r in range(LSH_ROWS)]).cast("binary")).alias("band_key"))
+        for b in range(LSH_BANDS)])
+    exploded = (sig.select(id_col, F.explode(bands).alias("bk"))
+                .select(id_col, "bk.band", "bk.band_key"))
+    a = exploded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (a.join(b, ["band", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def exact_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (broadcast of
+    the shingle sets is fine for verification-sized candidate lists; at
+    corpus scale this join is bucketed on the id)."""
+    sh = docs.select(F.col(id_col).alias("_id"), shingles_col(text_col).alias("_sh"))
+    j = (pairs
+         .join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"))
+
+
+def near_dup_pairs_minhash(docs: DataFrame, threshold: float = 0.6,
+                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidates -> exact-Jaccard verify -> threshold filter."""
+    cand = lsh_candidate_pairs(minhash_signature(docs, id_col, text_col), id_col)
+    return (exact_jaccard(cand, docs, id_col, text_col)
+            .filter(F.col("jaccard") >= threshold))
+
+
+# --- simhash -----------------------------------------------------------------
+
+def simhash_col(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
+    """32-bit SimHash from word hashes, pure JVM expressions: bit j of the
+    fingerprint is set iff sum over words of (+1 if bit j of word_hash else
+    -1) > 0. One fold over the word array; bit masks are Python-side
+    literals (shift amounts cannot be Columns)."""
+    w = F.split(F.col(text_col), " ")
+    # per word: 32-vector of ±1 by hash bit
+    votes = F.transform(w, lambda x: _bit_votes(word_hash(x), bits))
+    acc0 = F.array(*[F.lit(0).cast("long")] * bits)
+    sums = F.aggregate(votes, acc0,
+                       lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(sums.getItem(j) > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return fp
+
+
+def _bit_votes(h: Column, bits: int) -> Column:
+    return F.array(*[
+        F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(-1).cast("long")) for j in range(bits)])
+
+
+def near_dup_pairs_simhash(docs: DataFrame, max_hamming: int = 6,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           bands: int = 4) -> DataFrame:
+    """SimHash near-dup: band the fingerprint into `bands` slices (pigeonhole:
+    hamming <= bands-1 guarantees a shared band; larger distances found
+    with high probability), bucket-join, verify exact hamming distance."""
+    bits_per = SIMHASH_BITS // bands
+    fp = docs.select(F.col(id_col), simhash_col(text_col).alias("fp"))
+    slices = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("fp", b * bits_per)
+                 .bitwiseAND(F.lit((1 << bits_per) - 1)).alias("band_key"))
+        for b in range(bands)])
+    ex = fp.select(id_col, "fp", F.explode(slices).alias("s")).select(
+        id_col, "fp", "s.band", "s.band_key")
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "band", "band_key")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "band", "band_key")
+    cand = (a.join(b, ["band", "band_key"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "fp_a", "fp_b").distinct())
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# --- n-gram jaccard over known pairs -----------------------------------------
+
+def pairwise_ngram_jaccard(docs_a: DataFrame, docs_b: DataFrame,
+                           on: str = "pair_id") -> DataFrame:
+    """Exact word-3-gram Jaccard for aligned pairs (a.pair_id == b.pair_id)."""
+    a = docs_a.select(F.col(on), shingles_col().alias("sh_a"))
+    b = docs_b.select(F.col(on), shingles_col().alias("sh_b"))
+    j = a.join(b, on)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(on, F.round(inter.cast("double") / union, 6).alias("jaccard"))

@@ -9,8 +9,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .. import oracle
 
 
-def doc_class_col(text_col: str = "extracted_text") -> Column:
-    return F.when(F.length(text_col) >= oracle.DOC_CLASS_LONG_CHARS,
+def doc_class_col(len_col: str = "extracted_len") -> Column:
+    return F.when(F.col(len_col) >= oracle.DOC_CLASS_LONG_CHARS,
                   F.lit("long")).otherwise(F.lit("short"))
 
 

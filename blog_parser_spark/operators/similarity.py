@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k as the exact baseline, sign-LSH bucketed ANN as the scale
+path.
+
+Scale design: queries are broadcast (top-k searches are few-vs-many); the
+corpus never moves. Dot products run in JVM higher-order functions
+(zip_with + aggregate) — no Python, no collect. The LSH variant prunes the
+corpus to matching sign-buckets before scoring, turning O(Q x N) into
+O(Q x N / 2^planes) on hash-uniform data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+N_PLANES = 6   # sign-LSH hyperplanes per table -> 64 buckets/table
+N_TABLES = 4   # independent tables; candidates = union (standard L-tables
+               # construction: recall compounds, 1-(1-r)^L)
+DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query vector. Broadcast the (small) query
+    side; rank on rounded score + id tie-break so results are stable."""
+    from pyspark.sql import Window
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("query_id") != F.col("cand_id"))
+              .select("query_id", "cand_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _plane_weight(plane: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane weights (pure function of indices)."""
+    return 1 if ((plane * 131 + dim * 137) % 7) % 2 == 0 else -1
+
+
+def lsh_bucket_col(vec_col: str = "embedding", n_planes: int = N_PLANES,
+                   dim: int = DIM, table: int = 0) -> Column:
+    """Sign-LSH bucket id for one hash table: bit p = sign of <v, plane_p>
+    with fixed ±1 planes (plane set disjoint per table). Pure JVM
+    arithmetic, no Python, reproducible everywhere."""
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for p in range(n_planes):
+        coeffs = [_plane_weight(table * 100 + p, d) for d in range(dim)]
+        warr = F.array(*[F.lit(float(c)) for c in coeffs])
+        s = F.aggregate(F.zip_with(v, warr, lambda x, wgt: x.cast("double") * wgt),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket.bitwiseOR(
+            F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: score only candidates sharing a sign-bucket with the
+    query in ANY of the N_TABLES hash tables (union-of-tables recall).
+    Approximate (recall measured in tests vs brute force) but each scored
+    pair is exact cosine."""
+    from pyspark.sql import Window
+    tables = F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 lsh_bucket_col(vec_col, table=t).alias("b"))
+        for t in range(N_TABLES)])
+    def tagged(df, idc, vc):
+        return (df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(vc),
+                          F.explode(tables).alias("tb"))
+                .select(idc, vc, F.col("tb.t").alias("t"), F.col("tb.b").alias("b")))
+    q = tagged(queries, "query_id", "qv")
+    c = tagged(corpus, "cand_id", "cv")
+    scored = (F.broadcast(q).join(c, ["t", "b"])
+              .filter(F.col("query_id") != F.col("cand_id"))
+              .select("query_id", "cand_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+              .distinct())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

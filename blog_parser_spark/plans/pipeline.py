@@ -15,11 +15,23 @@ from ..sources import io
 
 
 def routed_pages(spark: SparkSession, pages: DataFrame, *, dedup: bool = True,
-                 with_meta: bool = False, keep_text: bool = False) -> DataFrame:
-    """pages -> routed (enriched rows + sink), the shared spine."""
+                 with_meta: bool = False, keep_text: bool = False,
+                 full: bool = False) -> DataFrame:
+    """pages -> routed (enriched rows + sink), the shared spine.
+
+    full=False (default) runs the metrics-only parse — the right plan when
+    downstream is the aggregate (nothing textual crosses Arrow, the dedup
+    window shuffles ~50B/row). full=True carries title/headings/paragraphs/
+    extracted_text for sink fan-out and byte-identity checks. Dedup runs
+    AFTER parse in both: re-parsing rare duplicate crawls is cheaper than
+    shuffling every html payload at corpus scale."""
+    if full or keep_text:
+        parsed = parse.parse_pages(pages, keep_text=keep_text,
+                                   with_html_md5=dedup)
+    else:
+        parsed = parse.parse_pages_metrics(pages, with_html_md5=dedup)
     if dedup:
-        pages = parse.dedup_latest(pages)
-    parsed = parse.parse_pages(pages, keep_text=keep_text)
+        parsed = parse.dedup_latest_parsed(parsed)
     enriched = enrich.enrich(
         parsed, io.lang_norm_df(spark),
         io.domain_meta_df(spark) if with_meta else None)

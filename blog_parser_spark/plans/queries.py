@@ -16,35 +16,13 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import aggregate, enrich, parse, route
 from ..plans import pipeline
 from ..sources import io
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-_QUERIES: dict[str, QueryFn] = {}
-_ORACLES: dict[str, str] = {}
-
-
-def register(name: str, sql: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
-        if sql is not None:
-            _ORACLES[name] = sql
-        return fn
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
-
-
-def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+from .registry import QueryFn, register, queries, oracle_sql  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,267 @@
+"""Driver-contract queries for the training-data-pipeline operators:
+dedup family, similarity search, text analysis, multimodal plumbing.
+
+Oracle-compat notes:
+- word_hash is identical across engines (md5-hex prefix -> bigint).
+- lambda indexes: Spark 0-based, DuckDB 1-based — SQL uses (i-1).
+- double ratios: exact-int numerators/denominators, ONE final division,
+  round(.,6) both sides (no k/d with d<=99 ties at the 7th decimal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup, multimodal, similarity, textstats
+from ..sources import io
+from .registry import register
+
+WORDS = "string_split(text, ' ')"
+WORD_HASH = "CAST(('0x' || substr(md5({w}), 1, 15)) AS BIGINT)"
+
+
+def _markers_sql(lg: str) -> str:
+    ms = ", ".join(f"'{m}'" for m in textstats.LANG_MARKERS[lg])
+    return (f"len(list_filter({WORDS}, x -> list_contains([{ms}], x)))")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_LANGID_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {", ".join(f"{_markers_sql(lg)} AS s_{lg}" for lg in textstats.LANG_ORDER)}
+  FROM documents
+)
+SELECT doc_id, lang, {", ".join(f"s_{lg}" for lg in textstats.LANG_ORDER)},
+  CASE {" ".join(f"WHEN s_{lg} = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN '{lg}'"
+                 for lg in textstats.LANG_ORDER)} END AS lang_pred
+FROM s
+"""
+
+
+@register("text_langid", _LANGID_SQL)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textstats.lang_id(io.read_table(spark, sf_dir, "documents"))
+    return df.select("doc_id", "lang",
+                     *[F.col(f"s_{lg}").cast("long").alias(f"s_{lg}")
+                       for lg in textstats.LANG_ORDER], "lang_pred")
+
+
+@register("text_quality", f"""
+WITH f AS (
+  SELECT doc_id,
+    len({WORDS}) AS n_words,
+    length(text) AS n_chars2,
+    len(list_filter({WORDS}, x -> list_contains(['the','a','of','to','and'], x))) AS stop_hits,
+    len(list_distinct({WORDS})) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_words, n_chars2, stop_hits,
+  round(CAST(n_chars2 - (n_words - 1) AS DOUBLE) / n_words, 6) AS mean_word_len,
+  round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+  round(CAST(stop_hits AS DOUBLE) / n_words, 6) AS stop_ratio,
+  round(CAST(n_distinct AS DOUBLE) / n_words * 0.5
+        + CAST(stop_hits AS DOUBLE) / n_words * 0.3
+        + CAST(least(n_words, 100) AS DOUBLE) / 200, 6) AS quality_score
+FROM f
+""")
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textstats.quality(io.read_table(spark, sf_dir, "documents"))
+    return df.select("doc_id",
+                     F.col("n_words").cast("long").alias("n_words"),
+                     F.col("n_chars2").cast("long").alias("n_chars2"),
+                     F.col("stop_hits").cast("long").alias("stop_hits"),
+                     "mean_word_len", "distinct_ratio", "stop_ratio",
+                     "quality_score")
+
+
+@register("text_tokens", f"""
+SELECT doc_id,
+  CAST(len({WORDS}) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+  CAST(strlen(text) AS INT) AS text_bytes
+FROM documents
+""")
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textstats.token_counts(io.read_table(spark, sf_dir, "documents"))
+    return df.select("doc_id",
+                     F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                     F.col("re_tokens").cast("long").alias("re_tokens"),
+                     F.col("text_bytes").cast("int").alias("text_bytes"))
+
+
+@register("text_fingerprint", f"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct({WORDS})), ' ')) AS canon_md5,
+  list_aggregate(list_transform({WORDS}, w -> {WORD_HASH.format(w='w')}), 'min') AS min_word_hash
+FROM documents
+""")
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(io.read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family — corpora with planted duplicates, both engines build the
+# identical dataset as a pure function of `documents`
+# ---------------------------------------------------------------------------
+
+# planted exact copies: docs 0..24 duplicated with id+500000
+_EXACT_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 25
+"""
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (docs.filter("doc_id < 25")
+              .select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
+    return docs.unionByName(copies)
+
+
+@register("dedup_exact", f"""
+WITH corpus AS ({_EXACT_CORPUS_SQL})
+SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM corpus GROUP BY 1
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_exact_corpus(spark, sf_dir))
+
+
+# planted near-dups: docs 0..49 with every 10th word dropped, id+1000000
+_NEAR_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(list_filter(string_split(text,' '), (x,i) -> (i-1) % 10 != 9), ' ') AS text
+FROM documents WHERE doc_id < 50
+"""
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split("text", " ")
+    perturbed = (docs.filter("doc_id < 50").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.filter(w, lambda x, i: i % 10 != 9)).alias("text")))
+    return docs.unionByName(perturbed)
+
+
+_SHINGLES_SQL = """list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+  list_transform(range(len(string_split(text,' ')) - 2),
+                 i -> array_to_string(string_split(text,' ')[i+1 : i+3], ' '))
+  ELSE [] END)"""
+
+_NEAR_PAIRS_ORACLE = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM corpus)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+"""
+
+
+@register("dedup_minhash_lsh", _NEAR_PAIRS_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact verification; oracle = exhaustive exact
+    Jaccard. Equality holds iff LSH recall at the threshold is total on
+    this (deterministic) corpus — asserted also in pytest."""
+    return dedup.near_dup_pairs_minhash(_near_corpus(spark, sf_dir), threshold=0.6)
+
+
+@register("dedup_ngram_jaccard", f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM corpus)
+SELECT a.doc_id AS pair_id,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+WHERE a.doc_id < 50
+""")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_corpus(spark, sf_dir)
+    a = corpus.filter("doc_id < 50").withColumnRenamed("doc_id", "pair_id")
+    b = (corpus.filter("doc_id >= 1000000")
+         .select((F.col("doc_id") - 1000000).alias("pair_id"), "text"))
+    return dedup.pairwise_ngram_jaccard(a, b)
+
+
+@register("dedup_simhash")  # approximate banding -> rows-only driver check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_dup_pairs_simhash(_near_corpus(spark, sf_dir), max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@register("ann_cosine_topk", """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT query_id, cand_id, cos, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+         CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS INT) AS rank
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+) WHERE rank <= 5
+""")
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter("vec_id < 5"), k=5)
+
+
+@register("ann_lsh_bucketed")  # approximate pruning -> rows-only driver check
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter("vec_id < 5"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register("multimodal_features", """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
+  CAST(48 + (doc_id % 6) * 16 AS INT) AS height,
+  CAST(least(n_chars, 256) AS INT) AS n_payload_bytes,
+  list_aggregate(list_transform(range(least(n_chars, 256)),
+                 i -> CAST((doc_id + i) % 256 AS DOUBLE)), 'avg') AS mean_byte
+FROM documents
+""")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_features(multimodal.synth_media(spark, sf_dir))
+
+
+@register("multimodal_resize", """
+WITH m AS (
+  SELECT doc_id, 64 + (doc_id % 8) * 16 AS w, 48 + (doc_id % 6) * 16 AS h
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+  CAST(w // greatest((greatest(w, h) + 31) // 32, 1) AS INT) AS out_width,
+  CAST(h // greatest((greatest(w, h) + 31) // 32, 1) AS INT) AS out_height
+FROM m
+""")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = multimodal.resize_images(multimodal.synth_media(spark, sf_dir))
+    return df.select("doc_id", "out_width", "out_height")
+
+
+@register("multimodal_frames", """
+SELECT doc_id, CAST(unnest(range(0, greatest(n_chars * 10, 1), 1000)) AS INT) AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2
+""")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(multimodal.synth_media(spark, sf_dir))

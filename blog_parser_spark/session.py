@@ -34,7 +34,19 @@ ENGINE_CONFS: dict[str, str] = {
     # GC-thrash under 32 cores (on a real cluster this is executor memory)
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.driver.maxResultSize": "4g",
+    # ParallelGC with capped threads: G1 (default) shows multi-second
+    # concurrent-cycle stalls under the Arrow-heavy UDF workload (measured
+    # 2x run-to-run variance); throughput collector is stable. On a real
+    # cluster this goes in executor.extraJavaOptions as well.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
 }
+
+# Shuffle/spill dir: prefer RAM-backed tmpfs in this sandbox — the single
+# virtio block device saturates at ~16 concurrent shuffle writers and
+# breaks CPU scaling, which a real cluster's per-executor NVMe would not.
+if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+    ENGINE_CONFS["spark.local.dir"] = "/dev/shm/spark_graft_local"
 
 
 def get_spark(app: str = "blog_parser_spark", master: str | None = None,

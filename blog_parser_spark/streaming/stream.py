@@ -1,0 +1,122 @@
+"""Structured Streaming variant (SURVEY.md §2.3 streaming ops, §3.4).
+
+The batch transforms are reused verbatim inside foreachBatch — one code
+path, two execution modes. Checkpoints give resumability; the
+availableNow trigger gives batch-like runs with streaming checkpoints
+(the kill-and-resume acceptance path).
+
+Watermark caveat (SURVEY.md §2.3 stream_watermark): rows later than the
+watermark are dropped from streaming aggregates by design; exact-match
+acceptance therefore runs on the batch/availableNow path, and late data
+is reconciled by batch backfill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans import pipeline
+from ..sources import io
+
+
+# --- sources ----------------------------------------------------------------
+
+def stream_pages(spark: SparkSession, src_dir: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """Incremental pages arrival from a parquet directory (the sandbox
+    stand-in for an Iceberg/Kafka incremental source). Schema is declared,
+    never inferred — drift fails loudly."""
+    r = spark.readStream.schema(io.PAGES_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(src_dir)
+
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+# --- windowed aggregates ------------------------------------------------------
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """stream_tumbling: events per type per tumbling window, late rows
+    beyond the watermark dropped (bounded state)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("events"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "event_type", "events"))
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("events"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "event_type", "events"))
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """stream_session: per-user sessionization with a gap timeout."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("value"))
+            .select(F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "user_id", "events", "value"))
+
+
+def dedup_urls(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """stream_dedup: stateful url dedup bounded by the watermark."""
+    return (pages.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["url"]))
+
+
+# --- the streaming flagship ---------------------------------------------------
+
+def start_pipeline(spark: SparkSession, pages_stream: DataFrame, out_dir: str,
+                   checkpoint: str, available_now: bool = True) -> StreamingQuery:
+    """stream_fanout: per-microbatch reuse of the BATCH fan-out + aggregate.
+
+    foreachBatch gets the same routed_pages spine; sinks append-partitioned
+    by sink; the flagship aggregate is maintained incrementally as a
+    per-batch parquet append keyed by batch_id (idempotent on replay:
+    overwrite-by-batch-id semantics via dynamic partition overwrite).
+    Checkpoint dir = the resume token (BASELINE.json north_rule)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = pipeline.routed_pages(spark, batch_df, dedup=True, full=True)
+        (routed.withColumn("batch_id", F.lit(batch_id))
+         .repartition("sink")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id", "sink")
+         .parquet(f"{out_dir}/sinks"))
+
+    w = (pages_stream.writeStream
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def start_windowed(df: DataFrame, out_dir: str, checkpoint: str,
+                   available_now: bool = True,
+                   output_mode: str = "append") -> StreamingQuery:
+    w = (df.writeStream.outputMode(output_mode)
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,62 @@
+"""Resumable fan-out sinks with lineage manifests: kill-and-resume must
+produce exactly the rows of a single-shot run (SURVEY.md §5.2 item 6,
+batch flavor)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from blog_parser_spark import manifest
+from blog_parser_spark.operators import aggregate
+from blog_parser_spark.sources import io
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def pages(spark):
+    return io.synth_pages(spark, SF_DIR).unionByName(io.adversarial_pages_df(spark))
+
+
+def test_resume_equals_single_shot(spark, pages, tmp_path):
+    single = str(tmp_path / "single")
+    resumed = str(tmp_path / "resumed")
+
+    r1 = manifest.run_resumable(spark, pages, single, n_buckets=16)
+    assert r1["buckets_done"] == 16
+    assert r1["parse_failures"] == 3
+
+    # simulate a mid-run crash: first pass only saw half the input
+    # (buckets of the missing half are absent from the manifest)
+    half = manifest.with_bucket(pages, 16).filter("bucket < 8").drop("bucket")
+    manifest.run_resumable(spark, half, resumed, n_buckets=16)
+    # resume over the FULL input: completed buckets skipped, rest processed
+    r2 = manifest.run_resumable(spark, pages, resumed, n_buckets=16)
+    assert r2["buckets_done"] == 16
+
+    a = spark.read.parquet(f"{single}/sinks")
+    b = spark.read.parquet(f"{resumed}/sinks")
+    cols = ["url", "sink", "extracted_text", "n_sentences", "n_bytes", "parse_ok"]
+    assert aggregate.multiset_equal(a.select(*cols), b.select(*cols))
+    # totals match the input exactly (dedup removes 1 duplicate url)
+    assert a.count() == pages.select("url").distinct().count()
+
+
+def test_rerun_is_noop(spark, pages, tmp_path):
+    out = str(tmp_path / "once")
+    manifest.run_resumable(spark, pages, out, n_buckets=8)
+    before = spark.read.parquet(f"{out}/sinks").count()
+    r = manifest.run_resumable(spark, pages, out, n_buckets=8)  # all done
+    after = spark.read.parquet(f"{out}/sinks").count()
+    assert before == after
+    assert r["buckets_done"] == 8
+
+
+def test_quarantine_sink_holds_failures(spark, pages, tmp_path):
+    out = str(tmp_path / "q")
+    manifest.run_resumable(spark, pages, out, n_buckets=8)
+    q = spark.read.parquet(f"{out}/sinks").filter("sink = 'quarantine'")
+    assert q.count() == 3
+    assert q.filter(F.col("parse_err").isNull()).count() == 0

@@ -1,0 +1,99 @@
+"""Streaming parity + kill/resume (SURVEY.md §5.2 item 6).
+
+availableNow streaming over the same input must equal the batch run; a
+second incremental run from the same checkpoint must process only new
+files and converge to the batch result over the union."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blog_parser_spark.operators import aggregate
+from blog_parser_spark.plans import pipeline
+from blog_parser_spark.sources import io
+from blog_parser_spark.streaming import stream
+from tests.conftest import SF_DIR
+
+
+def _await(q):
+    q.awaitTermination(300)
+
+
+def test_streaming_flagship_parity_and_resume(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = io.synth_pages(spark, SF_DIR)
+    first = pages.filter("lang in ('en','fr')")
+    rest = pages.filter("lang not in ('en','fr')")
+
+    # batch 1: only part of the corpus exists
+    first.coalesce(2).write.mode("overwrite").parquet(src)
+    q = stream.start_pipeline(spark, stream.stream_pages(spark, src), out, ckpt)
+    _await(q)
+
+    # more data arrives; resume from the SAME checkpoint — only new files run
+    rest.coalesce(2).write.mode("append").parquet(src)
+    q = stream.start_pipeline(spark, stream.stream_pages(spark, src), out, ckpt)
+    _await(q)
+
+    got = spark.read.parquet(f"{out}/sinks")
+    batch = pipeline.routed_pages(spark, pages, dedup=True, full=True)
+    cols = ["url", "sink", "extracted_text", "n_sentences", "n_bytes"]
+    assert aggregate.multiset_equal(got.select(*cols), batch.select(*cols))
+
+
+def test_streaming_windows_match_batch(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    io.read_table(spark, SF_DIR, "events").coalesce(2).write.mode("overwrite").parquet(src)
+
+    ev_stream = stream.stream_events(spark, src)
+    ev_batch = spark.read.parquet(src)
+
+    max_ts = ev_batch.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    cutoff = max_ts - datetime.timedelta(hours=2)
+
+    # tumbling: append mode emits exactly the windows the final watermark
+    # (max_ts - 2h) has passed; anything newer is withheld by design —
+    # the documented exactness caveat (batch backfill reconciles it)
+    out1, ck1 = str(tmp_path / "tumb"), str(tmp_path / "ck1")
+    _await(stream.start_windowed(stream.tumbling_counts(ev_stream), out1, ck1))
+    got = spark.read.parquet(out1)
+    exp = (ev_batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("events"))
+           .select(F.col("win.start").alias("win_start"),
+                   F.col("win.end").alias("win_end"), "event_type", "events"))
+    exp_closed = exp.filter(F.col("win_end") <= F.lit(cutoff))
+    missing = exp.exceptAll(got)
+    assert got.exceptAll(exp).isEmpty()              # nothing invented
+    assert exp_closed.exceptAll(got).isEmpty()       # all closed windows out
+    assert missing.filter(F.col("win_end") <= F.lit(cutoff)).isEmpty()
+
+    # session windows per user — same closed-window criterion
+    out2, ck2 = str(tmp_path / "sess"), str(tmp_path / "ck2")
+    _await(stream.start_windowed(stream.session_counts(ev_stream), out2, ck2))
+    got2 = spark.read.parquet(out2)
+    exp2 = (ev_batch.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("value"))
+            .select(F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "user_id", "events", "value"))
+    assert got2.exceptAll(exp2).isEmpty()
+    assert (exp2.filter(F.col("session_end") <= F.lit(cutoff))
+            .exceptAll(got2).isEmpty())
+
+
+def test_streaming_dedup_urls(spark, tmp_path):
+    src = str(tmp_path / "dup")
+    pages = io.adversarial_pages_df(spark)
+    pages.coalesce(1).write.mode("overwrite").parquet(src)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    dd = stream.dedup_urls(stream.stream_pages(spark, src))
+    _await(stream.start_windowed(dd.select("url", "warc_ts"), out, ck))
+    got = spark.read.parquet(out)
+    assert got.count() == pages.select("url").distinct().count()
