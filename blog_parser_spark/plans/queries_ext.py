@@ -1,0 +1,330 @@
+"""Driver-contract queries, batch 3: skew-salted join, batch window
+aggregates (tumbling + session via gaps-and-islands oracle), pivot,
+percentiles, min_by/max_by, grouping sets, multiset set-ops, map/url/try
+scalar families, and the Spark-4 Python UDTF surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import joins
+from ..sources import io
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# skew: salted join (result == unsalted; skew fixture exercised in tests)
+# ---------------------------------------------------------------------------
+
+@register("join_salted", """
+SELECT o.o_orderstatus AS status, n.n_name, COUNT(*) AS orders
+FROM orders o JOIN nation n ON o.o_custkey % 25 = n.n_nationkey
+GROUP BY 1, 2
+""")
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join (custkey%25 concentrates keys) through the explicit
+    salted construction — semantics must equal the plain join."""
+    o = (io.read_table(spark, sf_dir, "orders")
+         .withColumn("n_nationkey", (F.col("o_custkey") % 25).cast("int")))
+    n = io.read_table(spark, sf_dir, "nation")
+    joined = joins.salted_join_on(o, n, key="n_nationkey",
+                                  unique_col="o_orderkey", salt_buckets=8)
+    return (joined.groupBy(F.col("o_orderstatus").alias("status"), "n_name")
+            .agg(F.count(F.lit(1)).alias("orders")))
+
+
+# ---------------------------------------------------------------------------
+# batch window aggregates (streaming parity shapes, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+@register("agg_tumbling_window", """
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS win_start,
+       event_type, COUNT(*) AS events
+FROM events GROUP BY 1, 2
+""")
+def q_agg_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("events"))
+            .select(F.col("win.start").alias("win_start"), "event_type", "events"))
+
+
+@register("agg_session_window", """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS events
+FROM sess GROUP BY user_id, session_id
+""")
+def q_agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window in batch mode vs a gaps-and-islands SQL oracle —
+    proves Spark's native session semantics against first principles."""
+    ev = io.read_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("events"))
+            .select("user_id", F.col("win.start").alias("session_start"), "events"))
+
+
+# ---------------------------------------------------------------------------
+# aggregation breadth
+# ---------------------------------------------------------------------------
+
+@register("agg_pivot", """
+SELECT lang,
+  COUNT(*) FILTER (WHERE source = 'src0') AS src0,
+  COUNT(*) FILTER (WHERE source = 'src1') AS src1,
+  COUNT(*) FILTER (WHERE source = 'src2') AS src2,
+  COUNT(*) FILTER (WHERE source = 'src3') AS src3
+FROM documents GROUP BY 1
+""")
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .pivot("source", [f"src{i}" for i in range(4)])
+            .agg(F.count(F.lit(1)))
+            .select("lang", *[F.coalesce(F.col(f"src{i}"), F.lit(0)).alias(f"src{i}")
+                              for i in range(4)]))
+
+
+@register("agg_percentile", """
+SELECT o_orderstatus AS status,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY 1
+""")
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = io.read_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"))
+
+
+@register("agg_minmax_by", """
+SELECT event_type,
+  arg_min(event_id, ts) AS first_event_id,
+  arg_max(event_id, ts) AS last_event_id,
+  min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY 1
+""")
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    # fixture ts is globally unique (verified) -> min_by/max_by deterministic
+    return ev.groupBy("event_type").agg(
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+
+
+@register("agg_grouping_sets", """
+SELECT lang, source, COUNT(*) AS docs
+FROM documents GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+""")
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_gs")
+    return spark.sql("""
+        SELECT lang, source, COUNT(*) AS docs FROM documents_gs
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source))""")
+
+
+# ---------------------------------------------------------------------------
+# multiset set ops
+# ---------------------------------------------------------------------------
+
+@register("set_intersect_all", """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = io.read_table(spark, sf_dir, "orders")
+    a = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+@register("set_except_all", """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = io.read_table(spark, sf_dir, "orders")
+    a = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# scalar families: map/json, url, try_, conditional
+# ---------------------------------------------------------------------------
+
+@register("fn_map", """
+SELECT event_id,
+  array_to_string(json_keys(props), ',') AS prop_keys,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+  CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 'absent'
+       ELSE 'present' END AS missing_state
+FROM events
+""")
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.when(F.element_at(m, "missing").isNull(), "absent")
+        .otherwise("present").alias("missing_state"))
+
+
+@register("fn_url", PAGES_SQL_REF := """
+WITH p AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/post/' || CAST(doc_id AS VARCHAR)
+      || '?q=' || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id,
+  split_part(url, '://', 1) AS proto,
+  split_part(split_part(url, '://', 2), '/', 1) AS host,
+  '/' || split_part(split_part(split_part(url, '://', 2), '?', 1), '/', 2)
+      || '/' || split_part(split_part(split_part(url, '://', 2), '?', 1), '/', 3) AS path,
+  split_part(url, '?', 2) AS query
+FROM p
+""")
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), "source", F.lit(".example.com/post/"),
+                   F.col("doc_id").cast("string"), F.lit("?q="),
+                   (F.col("doc_id") % 7).cast("string"))
+    d = docs.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"))
+
+
+@register("fn_try", """
+SELECT doc_id,
+  try_cast(lang AS INT) AS lang_as_int,
+  try_cast(CAST(doc_id AS VARCHAR) AS INT) AS id_roundtrip,
+  CAST(doc_id AS BIGINT) // nullif(doc_id % 3, 0) AS try_div
+FROM documents
+""")
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("try_cast(lang AS INT)").alias("lang_as_int"),
+        F.expr("try_cast(CAST(doc_id AS STRING) AS INT)").alias("id_roundtrip"),
+        F.try_divide(F.col("doc_id"), F.nullif(F.col("doc_id") % 3, F.lit(0)))
+        .cast("long").alias("try_div"))
+
+
+@register("fn_conditional", """
+SELECT doc_id,
+  CASE WHEN n_chars >= 400 THEN 'xl' WHEN n_chars >= 250 THEN 'l'
+       WHEN n_chars >= 120 THEN 'm' ELSE 's' END AS size_class,
+  coalesce(nullif(lang, 'en'), 'english') AS lang_or_default,
+  greatest(n_chars, doc_id) AS g, least(n_chars, doc_id) AS l,
+  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE doc_id END AS odd_or_null
+FROM documents
+""")
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 400, "xl").when(F.col("n_chars") >= 250, "l")
+        .when(F.col("n_chars") >= 120, "m").otherwise("s").alias("size_class"),
+        F.coalesce(F.nullif("lang", F.lit("en")), F.lit("english")).alias("lang_or_default"),
+        F.greatest("n_chars", "doc_id").alias("g"),
+        F.least("n_chars", "doc_id").alias("l"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id")).alias("odd_or_null"))
+
+
+# ---------------------------------------------------------------------------
+# windows breadth
+# ---------------------------------------------------------------------------
+
+@register("win_first_last_nth", """
+SELECT event_id, user_id,
+  first_value(event_id) OVER w AS first_id,
+  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id,
+  nth_value(event_id, 2) OVER w AS second_id,
+  lead(event_id) OVER w AS next_id
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id", "user_id",
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(wfull).alias("last_id"),
+        F.nth_value("event_id", 2).over(w).alias("second_id"),
+        F.lead("event_id").over(w).alias("next_id"))
+
+
+@register("win_range_frame", """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+    PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+FROM events
+""")
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ in the fixture parquet: cast via LTZ (session=UTC)
+    # to epoch seconds for the range frame — identical to DuckDB epoch(ts)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("timestamp").cast("long"))
+         .rangeBetween(-3600, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("hour_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 Python UDTF surface (alternative exploder; SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+@register("udtf_word_explode", """
+SELECT doc_id, CAST(i - 1 AS INT) AS word_idx,
+       string_split(text, ' ')[i] AS word
+FROM (SELECT doc_id, text, unnest(range(1, len(string_split(text,' ')) + 1)) AS i
+      FROM documents WHERE doc_id < 20)
+""")
+def q_udtf_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) — the row-expanding UDF surface. Kept
+    off hot paths (pandas+explode is vectorized; UDTF is row-at-a-time)
+    but registered to prove the operator surface works."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_idx int, word string")
+    class WordExplode:
+        def eval(self, text: str):
+            if text:
+                for i, w in enumerate(text.split(" ")):
+                    yield i, w
+
+    spark.udtf.register("word_explode", WordExplode)
+    io.read_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, t.word_idx, t.word
+        FROM docs_udtf d, LATERAL word_explode(d.text) t
+        WHERE d.doc_id < 20""")

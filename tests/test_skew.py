@@ -1,0 +1,59 @@
+"""Skew handling (FIXTURES.md pages_skewed; SURVEY.md §2.3 agg_salted /
+join_salted): with one domain holding 50% of rows, the salted plans must
+produce EXACTLY the unsalted results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blog_parser_spark.operators import aggregate, joins
+from blog_parser_spark.plans import pipeline
+from blog_parser_spark.sources import io
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def pages_skewed(spark):
+    """pages with `source` remapped so src0 holds ~50% of rows (pure
+    function of doc_id — deterministic)."""
+    docs = io.read_table(spark, SF_DIR, "documents")
+    skewed = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, F.lit("src0"))
+        .otherwise(F.col("source")))
+    skewed.createOrReplaceTempView("documents_skewed")
+    # synth_pages reads the documents table; rebuild pages from the skewed df
+    from blog_parser_spark import spec
+    from blog_parser_spark.sources.io import _render_html_udf
+    render = _render_html_udf()
+    return skewed.select(
+        F.concat(F.lit("https://"), "source", F.lit(".example.com/post/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr(f"timestamp'{spec.WARC_TS_BASE}' + make_interval(0,0,0, "
+               f"cast(doc_id % {spec.WARC_TS_DAY_MOD} as int), 0, 0, "
+               f"cast(doc_id % {spec.WARC_TS_SEC_MOD} as int))").alias("warc_ts"),
+        render("text").alias("html"), F.col("text"), F.col("lang"))
+
+
+def test_skew_distribution(spark, pages_skewed):
+    top = (pages_skewed.groupBy(F.parse_url("url", F.lit("HOST")).alias("d"))
+           .count().orderBy(F.desc("count")).first())
+    assert top["d"] == "src0.example.com"
+    assert top["count"] >= 0.45 * pages_skewed.count()
+
+
+def test_salted_agg_exact_on_skew(spark, pages_skewed):
+    plain = pipeline.flagship(spark, pages_skewed, dedup=False, salted=False)
+    salted = pipeline.flagship(spark, pages_skewed, dedup=False, salted=True)
+    assert aggregate.multiset_equal(plain, salted)
+
+
+def test_salted_join_exact_on_skew(spark, pages_skewed):
+    routed = pipeline.routed_pages(spark, pages_skewed, dedup=False)
+    dim = io.domain_meta_df(spark)
+    plain = (routed.join(dim, "domain")
+             .groupBy("site_category").agg(F.count(F.lit(1)).alias("n")))
+    salted = (joins.salted_join_on(routed, dim, key="domain",
+                                   unique_col="url", salt_buckets=8)
+              .groupBy("site_category").agg(F.count(F.lit(1)).alias("n")))
+    assert aggregate.multiset_equal(plain, salted)
