@@ -328,3 +328,31 @@ def q_udtf_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.word_idx, t.word
         FROM docs_udtf d, LATERAL word_explode(d.text) t
         WHERE d.doc_id < 20""")
+
+
+# ---------------------------------------------------------------------------
+# SQL-API parity: the flagship aggregate written as pure spark.sql over a
+# temp view of the parsed rows — same oracle as agg_sink_counts
+# ---------------------------------------------------------------------------
+
+def _register_flagship_sql():
+    from .queries import FLAGSHIP_AGG_SQL
+    from ..operators import parse
+    from ..plans import pipeline as pl
+
+    @register("flagship_sql", FLAGSHIP_AGG_SQL)
+    def q_flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same plan as agg_sink_counts but declared in SQL (spark.sql) over
+        a routed temp view — proves the SQL surface end-to-end."""
+        routed = pl.routed_pages(spark, io.synth_pages(spark, sf_dir), dedup=True)
+        routed.createOrReplaceTempView("routed_pages_v")
+        return spark.sql("""
+            SELECT sink, domain, lang_norm, day,
+                   COUNT(*) AS docs,
+                   CAST(SUM(n_sentences) AS BIGINT) AS sentences,
+                   CAST(SUM(n_bytes) AS BIGINT) AS bytes
+            FROM routed_pages_v
+            GROUP BY sink, domain, lang_norm, day""")
+
+
+_register_flagship_sql()

@@ -1,0 +1,53 @@
+"""Bucketed sink layout + partition pruning (SURVEY.md §2.3 sink_bucketed)
+and the sliding-window streaming op."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blog_parser_spark.sources import io
+from blog_parser_spark.streaming import stream
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_write_prunes_on_read(spark, tmp_path):
+    out = str(tmp_path / "bucketed")
+    pages = io.synth_pages(spark, SF_DIR).select("url", "lang")
+    io.write_bucketed_by_url(pages, out, buckets=16)
+
+    whole = spark.read.parquet(out)
+    assert whole.count() == pages.count()
+
+    # a url-keyed lookup prunes to exactly one bucket directory
+    url = pages.limit(1).collect()[0]["url"]
+    bucket = whole.filter(F.col("url") == url).collect()[0]["url_bucket"]
+    one = spark.read.parquet(out).filter(F.col("url_bucket") == bucket)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "url_bucket" in plan  # partition filter present
+    assert one.filter(F.col("url") == url).count() == 1
+    # physical layout: one directory per bucket
+    import os
+    dirs = [d for d in os.listdir(out) if d.startswith("url_bucket=")]
+    assert len(dirs) == 16
+
+
+def test_sliding_window_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    io.read_table(spark, SF_DIR, "events").coalesce(1).write.mode("overwrite").parquet(src)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = stream.start_windowed(
+        stream.sliding_counts(stream.stream_events(spark, src)), out, ck)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    exp = (spark.read.parquet(src)
+           .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("events"))
+           .select(F.col("win.start").alias("win_start"),
+                   F.col("win.end").alias("win_end"), "event_type", "events"))
+    # append mode withholds windows the final watermark hasn't passed
+    assert got.exceptAll(exp).isEmpty()
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    import datetime
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    assert exp.filter(F.col("win_end") <= F.lit(cutoff)).exceptAll(got).isEmpty()
