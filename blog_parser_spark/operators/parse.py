@@ -73,16 +73,17 @@ def parse_metrics_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
 def _dedup_max_by(df: DataFrame, order_cols: list) -> DataFrame:
     """Keep the row with the max (lexicographic) order-struct per url.
 
-    Hash aggregate with max_by instead of a row_number window: map-side
-    partial aggregation collapses duplicate crawls BEFORE the shuffle
-    (a sort window must shuffle every row first), and the hash agg avoids
-    the per-partition sort — 2-3x faster at high parallelism, measured.
-    Tie-break keys are pure functions of the data (warc_ts, md5(html)),
-    so the winner is deterministic under retries (oracle._dedup_key)."""
-    rest = [c for c in df.columns if c != "url"]
-    return (df.groupBy("url")
-            .agg(F.max_by(F.struct(*rest), F.struct(*order_cols)).alias("_w"))
-            .select("url", *[F.col(f"_w.{c}").alias(c) for c in rest]))
+    row_number window, NOT groupBy+max_by: Spark 4 rewrites the
+    `row_number()<=1` filter into WindowGroupLimit, which drops duplicate
+    crawls per partition BEFORE the shuffle (same map-side collapse a
+    partial aggregate gives), while max_by's struct buffer forces the
+    slower SortAggregate path — window is ~30% faster at 1M rows/32 cores,
+    measured (BENCH/BASELINE.md). Tie-break keys are pure functions of the
+    data (warc_ts, md5(html)), so the winner is deterministic under
+    retries (oracle._dedup_key)."""
+    w = Window.partitionBy("url").orderBy(*[c.desc() for c in order_cols])
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
 
 
 def dedup_latest(pages: DataFrame) -> DataFrame:

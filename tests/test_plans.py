@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4 promises are
+checked mechanically, not by eyeball — pushdown reaches the parquet scan,
+small dims broadcast, the parse stage is exactly one ArrowEvalPython, and
+the flagship has no more wide boundaries than designed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from blog_parser_spark.plans import pipeline, queries_ext2
+from blog_parser_spark.sources import io
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _nodes(plan: str) -> list[str]:
+    """Physical node names from the formatted plan's detail section —
+    each node appears exactly once as '(n) NodeName'."""
+    return re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+
+
+def test_scan_parquet_pushdown_and_pruning(spark):
+    df = queries_ext2.q_scan_parquet(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # both predicates reach the scan
+    assert re.search(r"PushedFilters:.*l_quantity", plan)
+    assert re.search(r"PushedFilters:.*l_shipdate", plan)
+    # column pruning: ReadSchema carries only the 4 projected columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_partkey", "l_quantity", "l_shipdate"}
+
+
+def test_filter_before_parse_pushes_to_scan(spark, tmp_path):
+    """Filtering on raw columns BEFORE parse_pages must reach the parquet
+    scan — rows of other langs are never decoded, never cross into Python."""
+    p = str(tmp_path / "pages.parquet")
+    io.synth_pages(spark, SF_DIR).write.parquet(p)
+    pages = spark.read.parquet(p).filter(F.col("lang") == "en")
+    from blog_parser_spark.operators import parse
+    plan = _plan(parse.parse_pages_metrics(pages))
+    assert re.search(r"PushedFilters:.*lang", plan)
+
+
+def test_enrich_joins_are_broadcast(spark):
+    pages = io.synth_pages(spark, SF_DIR)
+    routed = pipeline.routed_pages(spark, pages, with_meta=True)
+    nodes = _nodes(_plan(routed))
+    assert nodes.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in nodes
+
+
+def test_flagship_single_parse_stage_two_shuffles(spark, tmp_path):
+    # pages from parquet: the synthesis render-UDF must not pollute the count
+    p = str(tmp_path / "pages.parquet")
+    io.synth_pages(spark, SF_DIR).write.parquet(p)
+    pages = spark.read.parquet(p)
+    nodes = _nodes(_plan(pipeline.flagship(spark, pages, dedup=True)))
+    # the parse UDF is evaluated exactly once (no duplicated Python stage)
+    assert nodes.count("ArrowEvalPython") == 1
+    # wide boundaries: dedup window + final agg; broadcast joins add only
+    # BroadcastExchange, never a shuffle Exchange
+    assert nodes.count("Exchange") == 2
+    # dedup's row_number()<=1 is rewritten to WindowGroupLimit, partial
+    # (pre-shuffle, collapses duplicates map-side) + final
+    assert nodes.count("WindowGroupLimit") == 2
+    # final agg does map-side partial aggregation (partial + final)
+    assert nodes.count("HashAggregate") == 2
+
+
+def test_dedup_embedding_cosine_finds_planted_pairs(spark):
+    df = queries_ext2.q_dedup_embedding_cosine(spark, SF_DIR)
+    rows = df.collect()
+    # exactly the 25 planted (original, +100000 copy) pairs, nothing else
+    assert len(rows) == 25
+    assert all(r.id_b == r.id_a + 100000 and r.cos >= 0.99 for r in rows)
