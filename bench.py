@@ -89,6 +89,8 @@ def main() -> None:
     timings["parse_only"] = _run_warm(parse_ops.parse_pages(pages))
     timings["sentences_explode"] = _run_warm(
         parse_ops.explode_sentences(parse_ops.parse_pages(pages)))
+    timings["sentences_fused"] = _run_warm(
+        parse_ops.sentences_from_pages(pages))
 
     # relational headliners on the raw fixtures
     qs = qreg.queries()

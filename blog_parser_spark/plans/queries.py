@@ -121,9 +121,9 @@ SELECT url,
 FROM routed_sink WHERE k > 0
 """)
 def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = parse.parse_pages(io.synth_pages(spark, sf_dir))
-    return (parse.explode_sentences(parsed)
-            .select("url", "para_idx", F.col("sent_idx").cast("int").alias("sent_idx")))
+    sents = parse.sentences_from_pages(io.synth_pages(spark, sf_dir))
+    return sents.select("url", "para_idx",
+                        F.col("sent_idx").cast("int").alias("sent_idx"))
 
 
 @register("sentences_text", PAGES_SQL + """
@@ -132,9 +132,8 @@ SELECT url, CAST(i AS INT) AS para_idx,
 FROM (SELECT url, text, unnest(range(k)) AS i FROM routed_sink WHERE k > 0)
 """)
 def q_sentences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parsed = parse.parse_pages(io.synth_pages(spark, sf_dir))
-    return (parse.explode_sentences(parsed)
-            .select("url", "para_idx", "sentence"))
+    sents = parse.sentences_from_pages(io.synth_pages(spark, sf_dir))
+    return sents.select("url", "para_idx", "sentence")
 
 
 @register("parse_url_domain", PAGES_SQL + """

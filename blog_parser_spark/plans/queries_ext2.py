@@ -10,8 +10,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators import custom_pandas
 from ..sources import io
 from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# grouped pandas-UDF surfaces — the UDAF / grouped-map rows of the §2.3
+# UDF table, each verified against a plain-SQL oracle (the UDF computes
+# exactly what the SQL window/aggregate computes, so any mismatch is a
+# plumbing bug, not a semantics choice).
+# ---------------------------------------------------------------------------
+
+@register("udaf_grouped_agg", """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total
+FROM documents GROUP BY lang
+""")
+def q_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    return custom_pandas.checked_byte_sums(docs, "lang", "n_chars")
+
+
+@register("grouped_map_cumsum", """
+SELECT source, doc_id, n_chars,
+       CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+FROM documents
+""")
+def q_grouped_map_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    return custom_pandas.group_cumsum(docs, "source", "doc_id", "n_chars")
 
 
 # ---------------------------------------------------------------------------

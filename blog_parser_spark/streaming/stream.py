@@ -82,6 +82,38 @@ def dedup_urls(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
             .dropDuplicatesWithinWatermark(["url"]))
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    event count + value total, kept in the state store across micro-batches.
+
+    This is the escape-hatch shape for stateful logic the built-in windowed
+    aggregates can't express; state is keyed per user_id and lives
+    per-partition on executors, checkpointed with the query. The value
+    total is accumulated in integer basis points (round(value*10^4)) so the
+    running sum is order-independent and exactly reproducible vs a batch
+    aggregate — float accumulation across micro-batches would drift in the
+    last ulp and break exact parity checks."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, events long, value_bp long"
+    state_schema = "events long, value_bp long"
+
+    def fn(key, pdfs, state):
+        events_n, value_bp = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            events_n += len(pdf)
+            value_bp += int((pdf["value"].fillna(0.0) * 10_000)
+                            .round().astype("int64").sum())
+        state.update((events_n, value_bp))
+        yield pd.DataFrame({"user_id": [key[0]], "events": [events_n],
+                            "value_bp": [value_bp]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
 # --- the streaming flagship ---------------------------------------------------
 
 def start_pipeline(spark: SparkSession, pages_stream: DataFrame, out_dir: str,

@@ -77,6 +77,18 @@ def test_flagship_single_parse_stage_two_shuffles(spark, tmp_path):
     assert nodes.count("HashAggregate") == 2
 
 
+def test_sentences_fused_matches_two_stage_and_is_one_python_stage(spark):
+    pages = io.synth_pages(spark, SF_DIR)
+    from blog_parser_spark.operators import parse
+    fused = parse.sentences_from_pages(pages)
+    two_stage = (parse.explode_sentences(parse.parse_pages(pages))
+                 .select(*fused.columns))
+    assert fused.exceptAll(two_stage).count() == 0
+    assert two_stage.exceptAll(fused).count() == 0
+    # exactly the synthesis UDF + the fused parse UDF — no third stage
+    assert _nodes(_plan(fused)).count("ArrowEvalPython") == 2
+
+
 def test_dedup_embedding_cosine_finds_planted_pairs(spark):
     df = queries_ext2.q_dedup_embedding_cosine(spark, SF_DIR)
     rows = df.collect()

@@ -88,6 +88,38 @@ def test_streaming_windows_match_batch(spark, tmp_path):
             .exceptAll(got2).isEmpty())
 
 
+def test_stateful_user_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState across multiple micro-batches: the final
+    per-user running totals must equal the batch aggregate exactly
+    (integer basis-point accumulation — no float drift)."""
+    src = str(tmp_path / "ev")
+    ev = io.read_table(spark, SF_DIR, "events")
+    # two files + maxFilesPerTrigger=1 => at least two micro-batches, so
+    # state genuinely carries across batches
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream_ev = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", 1).parquet(src))
+    totals = stream.stateful_user_totals(stream_ev)
+    q = (totals.writeStream.outputMode("update").format("memory")
+         .queryName("user_totals").trigger(availableNow=True).start())
+    _await(q)
+
+    # updates are monotone in `events`; the final state per user is the max
+    got = spark.sql("""
+        SELECT user_id, max_by(value_bp, events) AS value_bp,
+               max(events) AS events
+        FROM user_totals GROUP BY user_id""")
+    exp = (ev.groupBy("user_id")
+           .agg(F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0))
+                              * 10_000).cast("long")).alias("value_bp"),
+                F.count(F.lit(1)).alias("events")))
+    assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+
+
 def test_streaming_dedup_urls(spark, tmp_path):
     src = str(tmp_path / "dup")
     pages = io.adversarial_pages_df(spark)
