@@ -78,9 +78,11 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    # raw per-run report; BENCH/BASELINE.md is the curated writeup (with
+    # the control experiments) and is updated by hand from this file
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — scaling evidence ({date.today().isoformat()})
+    with open("BENCH/scaling_latest.md", "w") as f:
+        f.write(f"""# BENCH scaling run ({date.today().isoformat()})
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. Sandbox substitute (BASELINE.md protocol): identical flagship
