@@ -83,6 +83,106 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composite analytics (TPC-H-shaped) — multi-join + aggregate plans that
+# exercise join strategy selection, pushdown through joins, and top-k.
+# Double sums go through DECIMAL(18,4) partials (exact, order-independent)
+# per the repo determinism convention; top-k carries a unique tie-break.
+# ---------------------------------------------------------------------------
+
+def _dsum(col):
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+@register("tpch_q1_pricing", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (io.read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(_dsum(F.col("l_quantity")).alias("sum_qty"),
+                 _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 _dsum(disc).alias("sum_disc_price"),
+                 F.round(_dsum(F.col("l_quantity"))
+                         / F.count(F.lit(1)), 6).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("tpch_q3_shipping", """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (io.read_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING"))
+    orders = (io.read_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = (io.read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(_dsum(disc).alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.desc("revenue"), "l_orderkey").limit(10))
+
+
+@register("tpch_q5_local_supplier", """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""")
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.read_table(spark, sf_dir, "customer")
+    orders = (io.read_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))))
+    li = io.read_table(spark, sf_dir, "lineitem")
+    supp = io.read_table(spark, sf_dir, "supplier")
+    nation = io.read_table(spark, sf_dir, "nation")
+    region = io.read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(_dsum(disc).alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
 # dedup_embedding_cosine — embedding-space near-duplicate pairs.
 #
 # Corpus: embeddings ∪ planted near-copies (vec_id+100000, every component
