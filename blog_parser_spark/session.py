@@ -34,6 +34,8 @@ ENGINE_CONFS: dict[str, str] = {
     # GC-thrash under 32 cores (on a real cluster this is executor memory)
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.driver.maxResultSize": "4g",
+    # catalog tables (bucketed layouts) land in /tmp, not the repo cwd
+    "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
     # ParallelGC with capped threads: G1 (default) shows multi-second
     # concurrent-cycle stalls under the Arrow-heavy UDF workload (measured
     # 2x run-to-run variance); throughput collector is stable. On a real

@@ -124,6 +124,21 @@ def write_fanout(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
        .write.mode(mode).partitionBy("sink").parquet(out_dir))
 
 
+def write_bucketed_table(df: DataFrame, table: str, buckets: int = 16,
+                         key: str = "url") -> None:
+    """Catalog-registered bucketed+sorted table (Spark bucketBy): two tables
+    bucketed the same way join with ZERO shuffle exchanges — each task reads
+    matching bucket files from both sides (verified in tests/test_plans.py).
+
+    This is the co-located-join layout for url-keyed tables that are joined
+    repeatedly (e.g. parsed pages vs a per-url quality-score table): the
+    shuffle is paid once at write time, then every downstream join is
+    exchange-free. On Iceberg the equivalent is
+    `partitionedBy(bucket(N, key))` + storage-partitioned joins."""
+    (df.write.mode("overwrite").format("parquet")
+       .bucketBy(buckets, key).sortBy(key).saveAsTable(table))
+
+
 def write_bucketed_by_url(df: DataFrame, out_dir: str, buckets: int = 256,
                           mode: str = "overwrite") -> None:
     """sink_bucketed: bucket-by-url-hash layout (Iceberg bucket(256,url) in

@@ -89,6 +89,28 @@ def test_sentences_fused_matches_two_stage_and_is_one_python_stage(spark):
     assert _nodes(_plan(fused)).count("ArrowEvalPython") == 2
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-located join: two tables bucketed+sorted on the same key join as
+    SortMergeJoin with ZERO shuffle exchanges — the scale layout for
+    repeatedly-joined url-keyed tables."""
+    pages = io.synth_pages(spark, SF_DIR).select("url", "lang", "warc_ts")
+    scores = pages.select("url", F.length("url").alias("score"))
+    io.write_bucketed_table(pages, "t_pages_b", buckets=4)
+    io.write_bucketed_table(scores, "t_scores_b", buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_pages_b").join(spark.table("t_scores_b"), "url")
+        nodes = _nodes(_plan(joined))
+        assert "SortMergeJoin" in nodes
+        assert nodes.count("Exchange") == 0
+        assert joined.count() == pages.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_pages_b")
+        spark.sql("DROP TABLE IF EXISTS t_scores_b")
+
+
 def test_dedup_embedding_cosine_finds_planted_pairs(spark):
     df = queries_ext2.q_dedup_embedding_cosine(spark, SF_DIR)
     rows = df.collect()
