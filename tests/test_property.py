@@ -1,0 +1,84 @@
+"""Property-based hardening of PARSE_SPEC (pure Python — no Spark).
+
+Three invariant families, fuzzed with hypothesis:
+1. The guarded fast paths in spec.normalize_fragment / split_sentences are
+   byte-equal to the unguarded reference forms on ARBITRARY text.
+2. The fixture round trip (text -> render_html -> parse_document) recovers
+   extracted_text byte-identically for any single-space-separated word text
+   (the documents.text shape).
+3. parse_document never raises: any bytes input yields a Parsed row
+   (parse_ok=False for undecodable input) — at 10^12 docs "never crashes
+   the executor" is a correctness property, not a nicety.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from blog_parser_spark import spec
+
+
+# --- reference (unguarded) forms --------------------------------------------
+
+def _normalize_unguarded(raw: str) -> str:
+    s = spec.TAG_STRIP_RE.sub("", raw)
+    for ent, ch in spec.ENTITY_DECODE:
+        s = s.replace(ent, ch)
+    return spec.WS_RE.sub(" ", s).strip()
+
+
+def _split_unguarded(paragraph: str) -> list[str]:
+    out: list[str] = []
+    for seg in spec.SENTENCE_SPLIT_RE.split(paragraph):
+        if not seg:
+            continue
+        if out and out[-1].endswith(spec.ABBREVIATIONS):
+            out[-1] = out[-1] + " " + seg
+        else:
+            out.append(seg)
+    return out
+
+
+# fragments biased toward the constructs the guards dispatch on
+_fragment = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ09 .!?\t\n\r\f\v\xa0") + ["<", ">", "&", "/"]),
+    max_size=120)
+_freeform = st.text(max_size=120)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(_fragment, _freeform))
+def test_normalize_guarded_equals_unguarded(raw):
+    assert spec.normalize_fragment(raw) == _normalize_unguarded(raw)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(_fragment, _freeform))
+def test_split_guarded_equals_unguarded(p):
+    assert spec.split_sentences(p) == _split_unguarded(p)
+
+
+# words like the fixture generator produces: no whitespace, no angle
+# brackets pre-escape is handled by render_html, so allow & < > too
+_word = st.text(
+    alphabet=st.characters(blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs")),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=60))
+def test_render_parse_round_trip_byte_identity(words):
+    text = " ".join(words)
+    parsed = spec.parse_document(spec.render_html(text))
+    assert parsed.parse_ok
+    assert parsed.extracted_text == text
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_parse_document_total_on_arbitrary_bytes(data):
+    parsed = spec.parse_document(data)
+    assert isinstance(parsed.parse_ok, bool)
+    if not parsed.parse_ok:
+        assert parsed.parse_err
