@@ -40,6 +40,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+class SchemaDriftError(TypeError):
+    """Input table shape does not match the declared pipeline schema."""
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Read a pages table and validate its shape against PAGES_SCHEMA,
+    failing LOUDLY on drift (input_hint: schema is declared, never
+    inferred — at 10^12 rows a silently-widened or renamed column burns a
+    cluster-day before anyone notices). Nullability is not compared
+    (parquet writers vary); names and types are exact."""
+    df = (spark.read.format("iceberg").load(path) if TABLE_FORMAT == "iceberg"
+          else spark.read.parquet(path))
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in PAGES_SCHEMA.fields]
+    if got != want:
+        raise SchemaDriftError(
+            f"pages schema drift at {path}: got {got}, want {want}")
+    return df
+
+
 # --- pages synthesis (FIXTURES.md §B) ---------------------------------------
 
 def _render_html_udf():
@@ -122,6 +142,41 @@ def write_fanout(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
     """
     (df.repartition("sink")
        .write.mode(mode).partitionBy("sink").parquet(out_dir))
+
+
+def compact_partition_dir(spark: SparkSession, root: str, partition_col: str,
+                          target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-files compaction for a partitionBy() sink directory: rewrite
+    each partition into ceil(bytes/target) files.
+
+    At 100 TB, fan-out sinks accumulate a-few-MB files (one per task per
+    partition per run); a reader then pays an open/seek per file and the
+    NameNode/objectstore pays per-object metadata. Compaction is a pure
+    rewrite — content equality is asserted in tests. Returns
+    {partition_value: n_files_written}. The rewrite goes through a temp
+    dir + atomic rename so a crash mid-compaction never leaves a partition
+    half-replaced."""
+    import math
+    import os
+    import shutil
+
+    out: dict[str, int] = {}
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        part_dir = os.path.join(root, entry)
+        size = sum(os.path.getsize(os.path.join(part_dir, f))
+                   for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        n_files = max(1, math.ceil(size / target_bytes))
+        tmp = part_dir + "._compact_tmp"
+        (spark.read.parquet(part_dir).repartition(n_files)
+         .write.mode("overwrite").parquet(tmp))
+        old = part_dir + "._compact_old"
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+        out[entry.split("=", 1)[1]] = n_files
+    return out
 
 
 def write_bucketed_table(df: DataFrame, table: str, buckets: int = 16,

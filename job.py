@@ -30,6 +30,7 @@ def main() -> None:
     from blog_parser_spark import manifest
     from blog_parser_spark.plans import pipeline
     from blog_parser_spark.operators import aggregate
+    from blog_parser_spark.sources import io
 
     spark = get_spark("blog-parser-pipeline")
 
@@ -41,11 +42,11 @@ def main() -> None:
         q.awaitTermination()
         stats = {"mode": "streaming", "out": args.out}
     else:
-        pages = spark.read.parquet(args.pages)
+        pages = io.read_pages(spark, args.pages)  # loud schema-drift gate
         stats = manifest.run_resumable(spark, pages, args.out, args.buckets)
 
     if args.agg_out:
-        pages = spark.read.parquet(args.pages)
+        pages = io.read_pages(spark, args.pages)
         (aggregate.agg_sink_counts(
             pipeline.routed_pages(spark, pages, dedup=True))
          .repartition(1).write.mode("overwrite").parquet(args.agg_out))

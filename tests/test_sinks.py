@@ -51,3 +51,50 @@ def test_sliding_window_matches_batch(spark, tmp_path):
     import datetime
     cutoff = max_ts - datetime.timedelta(hours=2)
     assert exp.filter(F.col("win_end") <= F.lit(cutoff)).exceptAll(got).isEmpty()
+
+
+def test_read_pages_schema_drift_fails_loudly(spark, tmp_path):
+    good = str(tmp_path / "good")
+    io.synth_pages(spark, SF_DIR).coalesce(1).write.parquet(good)
+    assert io.read_pages(spark, good).count() > 0
+
+    drifted = str(tmp_path / "drifted")
+    (io.synth_pages(spark, SF_DIR)
+     .withColumn("lang", F.lit(1))  # type drift: string -> int
+     .coalesce(1).write.parquet(drifted))
+    with pytest.raises(io.SchemaDriftError):
+        io.read_pages(spark, drifted)
+
+    renamed = str(tmp_path / "renamed")
+    (io.synth_pages(spark, SF_DIR).withColumnRenamed("html", "body")
+     .coalesce(1).write.parquet(renamed))
+    with pytest.raises(io.SchemaDriftError):
+        io.read_pages(spark, renamed)
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
+    import os
+    out = str(tmp_path / "sink")
+    docs = io.read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    # simulate many-small-files: 8 writers per lang partition
+    docs.repartition(8).write.partitionBy("lang").parquet(out)
+    before = docs.orderBy("doc_id").collect()
+    n_before = sum(len([f for f in os.listdir(os.path.join(out, d))
+                        if f.endswith(".parquet")])
+                   for d in os.listdir(out) if d.startswith("lang="))
+
+    stats = io.compact_partition_dir(spark, out, "lang")
+    n_after = sum(stats.values())
+    assert n_after < n_before and n_after == len(stats)  # 1 file per lang here
+
+    # content byte-equal (lang comes back as partition column)
+    after = (spark.read.option("basePath", out).parquet(out)
+             .select("doc_id", "lang", "text").orderBy("doc_id").collect())
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+def test_approx_distinct_within_error_bound(spark):
+    docs = io.read_table(spark, SF_DIR, "documents")
+    exact = docs.select(F.countDistinct("doc_id")).collect()[0][0]
+    approx = docs.select(F.approx_count_distinct("doc_id", rsd=0.05)).collect()[0][0]
+    assert abs(approx - exact) <= 0.15 * exact
