@@ -173,6 +173,45 @@ def near_dup_pairs_simhash(docs: DataFrame, max_hamming: int = 6,
 
 # --- n-gram jaccard over known pairs -----------------------------------------
 
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id", max_iter: int = 50) -> DataFrame:
+    """Dedup clustering: connected components over a near-duplicate pair
+    graph via iterative min-label propagation — the standard MapReduce CC.
+
+    Returns (id_col, component) where component = min node id reachable.
+    Each iteration is one join + one aggregate (both shuffle on node id);
+    iterations needed = graph diameter in label-hops, which for dedup
+    graphs (small dense clusters) is single digits. localCheckpoint per
+    iteration truncates lineage so plans don't grow unboundedly; the
+    convergence check is an exact count of changed labels (driver-side
+    scalar, not a collect of data)."""
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"))))
+    # materialize once: edges are re-joined every iteration, and their
+    # upstream lineage (LSH banding + exact-Jaccard verify) must not be
+    # re-executed per round
+    edges = edges.localCheckpoint()
+    labels = nodes.select(F.col(id_col).alias("node"),
+                          F.col(id_col).alias("component"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neigh_min = (edges.join(labels, edges.dst == labels.node)
+                     .groupBy("src").agg(F.min("component").alias("n_min")))
+        # carry old+new labels through one join so the convergence count
+        # needs no second join
+        step = (labels.join(neigh_min, labels.node == neigh_min.src, "left")
+                .select("node", F.col("component").alias("_old"),
+                        F.least("component", F.coalesce("n_min", "component"))
+                        .alias("component"))
+                .localCheckpoint())
+        changed = step.filter(F.col("component") != F.col("_old")).count()
+        labels = step.drop("_old")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
 def pairwise_ngram_jaccard(docs_a: DataFrame, docs_b: DataFrame,
                            on: str = "pair_id") -> DataFrame:
     """Exact word-3-gram Jaccard for aligned pairs (a.pair_id == b.pair_id)."""

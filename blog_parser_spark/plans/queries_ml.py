@@ -193,6 +193,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pairwise_ngram_jaccard(a, b)
 
 
+@register("dedup_components", f"""
+WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM corpus),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+FROM reach GROUP BY node
+""")
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: LSH candidate pairs -> exact-Jaccard edges ->
+    distributed min-label connected components; oracle = DuckDB recursive
+    CTE transitive closure over the exhaustive-Jaccard edge set."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dedup.near_dup_pairs_minhash(corpus, threshold=0.6)
+    return dedup.connected_components(corpus, pairs)
+
+
 @register("dedup_simhash")  # approximate banding -> rows-only driver check
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs_simhash(_near_corpus(spark, sf_dir), max_hamming=6)

@@ -107,3 +107,18 @@ def test_decode_real_is_stubbed():
         multimodal.decode_real("image", b"\x89PNG...")
     with pytest.raises(NotImplementedError):
         multimodal.decode_real("audio", b"RIFF...")
+
+
+def test_connected_components_clusters_and_converges(spark):
+    """CC over a synthetic 3-component graph: chain, triangle, singleton —
+    labels converge to the min id of each component, including across
+    multi-hop chains (the case a single-join 'min of neighbors' gets
+    wrong)."""
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    #  chain 0-1-2-3 (diameter 3), triangle 4-5-6, singleton 7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)],
+        "id_a long, id_b long")
+    got = {r.doc_id: r.component
+           for r in dedup.connected_components(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
