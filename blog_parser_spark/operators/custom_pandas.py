@@ -25,8 +25,13 @@ def checked_sum_udaf(v: pd.Series) -> int:
     per-group byte total CAN exceed 2^63 if keys are degenerate, and a
     wrapped negative total would corrupt downstream capacity planning.
     Summing through Python ints (arbitrary precision) and range-checking
-    makes the failure loud instead."""
-    total = int(v.dropna().astype(object).sum() or 0)
+    makes the failure loud instead. An all-NULL group returns NULL, the
+    SQL SUM semantics the DuckDB oracle implements — returning 0 there
+    would be a silent contract mismatch on nullable data."""
+    vals = v.dropna()
+    if vals.empty:
+        return None
+    total = int(vals.astype(object).sum())
     if not (-(1 << 63) <= total < (1 << 63)):
         raise OverflowError(f"group sum {total} exceeds int64")
     return total

@@ -209,6 +209,13 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         labels = step.drop("_old")
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split true components and keep
+        # duplicates downstream — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter "
+            f"for graphs with label-hop diameter > {max_iter}")
     return labels.select(F.col("node").alias(id_col), "component")
 
 

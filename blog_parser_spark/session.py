@@ -34,8 +34,12 @@ ENGINE_CONFS: dict[str, str] = {
     # GC-thrash under 32 cores (on a real cluster this is executor memory)
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.driver.maxResultSize": "4g",
-    # catalog tables (bucketed layouts) land in /tmp, not the repo cwd
-    "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
+    # catalog tables (bucketed layouts) land in /tmp, not the repo cwd;
+    # per-uid path so concurrent users never collide, env-overridable like
+    # the other SPARK_GRAFT_* knobs
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE",
+        f"/tmp/spark_graft_warehouse_{os.getuid()}"),
     # ParallelGC with capped threads: G1 (default) shows multi-second
     # concurrent-cycle stalls under the Arrow-heavy UDF workload (measured
     # 2x run-to-run variance); throughput collector is stable. On a real

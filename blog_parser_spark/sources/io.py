@@ -153,12 +153,38 @@ def compact_partition_dir(spark: SparkSession, root: str, partition_col: str,
     partition per run); a reader then pays an open/seek per file and the
     NameNode/objectstore pays per-object metadata. Compaction is a pure
     rewrite — content equality is asserted in tests. Returns
-    {partition_value: n_files_written}. The rewrite goes through a temp
-    dir + atomic rename so a crash mid-compaction never leaves a partition
-    half-replaced."""
+    {partition_value: n_files_written}.
+
+    Crash safety: scratch dirs live under dot-prefixed names
+    (".compact_tmp_<part>" / ".compact_old_<part>"), which Spark's
+    partition discovery ignores and the partition filter below never
+    matches, so a reader of `root` at ANY point sees either the old or the
+    new files of a partition, never both and never scratch. A recovery
+    pass finishes or rolls back whatever a previous crash left behind:
+    tmp-only -> delete tmp (rewrite never committed); old present with the
+    partition missing -> restore old (crash between the two renames); old
+    present alongside the partition -> delete old (crash before cleanup)."""
     import math
     import os
     import shutil
+
+    def _tmp(entry: str) -> str:
+        return os.path.join(root, f".compact_tmp_{entry}")
+
+    def _old(entry: str) -> str:
+        return os.path.join(root, f".compact_old_{entry}")
+
+    # recovery pass (idempotent)
+    for d in sorted(os.listdir(root)):
+        if d.startswith(".compact_old_"):
+            entry = d[len(".compact_old_"):]
+            part_dir = os.path.join(root, entry)
+            if os.path.exists(part_dir):
+                shutil.rmtree(os.path.join(root, d))   # swap completed
+            else:
+                os.rename(os.path.join(root, d), part_dir)  # roll back
+        elif d.startswith(".compact_tmp_"):
+            shutil.rmtree(os.path.join(root, d))       # uncommitted rewrite
 
     out: dict[str, int] = {}
     for entry in sorted(os.listdir(root)):
@@ -168,10 +194,9 @@ def compact_partition_dir(spark: SparkSession, root: str, partition_col: str,
         size = sum(os.path.getsize(os.path.join(part_dir, f))
                    for f in os.listdir(part_dir) if f.endswith(".parquet"))
         n_files = max(1, math.ceil(size / target_bytes))
-        tmp = part_dir + "._compact_tmp"
+        tmp, old = _tmp(entry), _old(entry)
         (spark.read.parquet(part_dir).repartition(n_files)
          .write.mode("overwrite").parquet(tmp))
-        old = part_dir + "._compact_old"
         os.rename(part_dir, old)
         os.rename(tmp, part_dir)
         shutil.rmtree(old)

@@ -92,7 +92,11 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     total is accumulated in integer basis points (round(value*10^4)) so the
     running sum is order-independent and exactly reproducible vs a batch
     aggregate — float accumulation across micro-batches would drift in the
-    last ulp and break exact parity checks."""
+    last ulp and break exact parity checks. Rounding is half-away-from-zero
+    (sign * floor(|x| + 0.5)) to match Spark's F.round/ROUND exactly —
+    pandas' .round() is IEEE half-to-even and would disagree with the batch
+    aggregate on exact-.5 products."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -103,8 +107,9 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         events_n, value_bp = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             events_n += len(pdf)
-            value_bp += int((pdf["value"].fillna(0.0) * 10_000)
-                            .round().astype("int64").sum())
+            bp = pdf["value"].fillna(0.0).to_numpy() * 10_000
+            value_bp += int((np.sign(bp) * np.floor(np.abs(bp) + 0.5))
+                            .astype("int64").sum())
         state.update((events_n, value_bp))
         yield pd.DataFrame({"user_id": [key[0]], "events": [events_n],
                             "value_bp": [value_bp]})

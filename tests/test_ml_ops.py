@@ -122,3 +122,22 @@ def test_connected_components_clusters_and_converges(spark):
     got = {r.doc_id: r.component
            for r in dedup.connected_components(nodes, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    n = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(nodes, chain, max_iter=2)
+
+
+def test_checked_sum_udaf_all_null_group_is_null(spark):
+    from blog_parser_spark.operators import custom_pandas
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), ("b", None)],
+        "k string, v long")
+    got = {r.k: r.total
+           for r in custom_pandas.checked_byte_sums(df, "k", "v").collect()}
+    assert got == {"a": 3, "b": None}  # SQL SUM semantics, not 0

@@ -15,15 +15,8 @@ from blog_parser_spark.sources import io
 from tests.conftest import SF_DIR
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
-
-
-def _nodes(plan: str) -> list[str]:
-    """Physical node names from the formatted plan's detail section —
-    each node appears exactly once as '(n) NodeName'."""
-    return re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+from blog_parser_spark.plans.explain import (  # noqa: E402
+    plan_formatted as _plan, plan_nodes as _nodes)
 
 
 def test_scan_parquet_pushdown_and_pruning(spark):

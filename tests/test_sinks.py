@@ -98,3 +98,32 @@ def test_approx_distinct_within_error_bound(spark):
     exact = docs.select(F.countDistinct("doc_id")).collect()[0][0]
     approx = docs.select(F.approx_count_distinct("doc_id", rsd=0.05)).collect()[0][0]
     assert abs(approx - exact) <= 0.15 * exact
+
+
+def test_compaction_recovers_from_simulated_crashes(spark, tmp_path):
+    import os, shutil
+    out = str(tmp_path / "sink")
+    docs = io.read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    docs.repartition(4).write.partitionBy("lang").parquet(out)
+    expected = [tuple(r) for r in docs.orderBy("doc_id").collect()]
+    parts = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+
+    # crash window 1: rewrite committed to tmp only -> must be discarded
+    shutil.copytree(os.path.join(out, parts[0]),
+                    os.path.join(out, f".compact_tmp_{parts[0]}"))
+    # crash window 2: partition renamed away, new files not yet in place
+    os.rename(os.path.join(out, parts[1]),
+              os.path.join(out, f".compact_old_{parts[1]}"))
+    # crash window 3: swap done but old not yet deleted
+    shutil.copytree(os.path.join(out, parts[2]),
+                    os.path.join(out, f".compact_old_{parts[2]}"))
+
+    # scratch dirs are invisible to Spark partition discovery (dot prefix);
+    # window-2's partition is temporarily missing, windows 1+3 must not
+    # duplicate rows
+    stats = io.compact_partition_dir(spark, out, "lang")
+    assert set(stats) == {p.split("=", 1)[1] for p in parts}
+    after = (spark.read.option("basePath", out).parquet(out)
+             .select("doc_id", "lang", "text").orderBy("doc_id").collect())
+    assert [tuple(r) for r in after] == expected
+    assert not any(d.startswith(".compact") for d in os.listdir(out))
