@@ -8,11 +8,82 @@ rounded after identical double-precision arithmetic, unique tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import custom_pandas
 from ..sources import io
 from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# win_sessionize — full batch sessionization: gap>30min starts a session;
+# session_id = cumulative count of session starts per user (lag + cumsum,
+# one shuffle). The batch dual of F.session_window / stream_session.
+# ---------------------------------------------------------------------------
+
+@register("win_sessionize", """
+SELECT event_id, user_id, ts,
+       CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events)
+""")
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fixture timestamps are NTZ; NTZ->long needs the timestamp hop (UTC session)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    is_start = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (ev.withColumn("is_start", is_start)
+            .select("event_id", "user_id", "ts",
+                    F.sum("is_start").over(cum).alias("session_id")))
+
+
+# ---------------------------------------------------------------------------
+# join_range_binned — the SCALE formulation of the range join: bucketize
+# the time axis into 7-day bins and equi-join on the bin (anchor rows are
+# duplicated into the two bins their window can overlap), then re-apply
+# the exact range predicate. Turns the O(|A|x|B|) broadcast-nested-loop
+# into a shuffled hash join on (bin); result identical to join_range
+# (same oracle SQL).
+# ---------------------------------------------------------------------------
+
+@register("join_range_binned", """
+SELECT a.o_orderkey AS anchor_key, COUNT(*) AS n_following
+FROM orders a JOIN orders b
+  ON b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+WHERE a.o_orderkey % 100 = 0
+GROUP BY 1
+""")
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bin_sec = 7 * 86400
+    o = io.read_table(spark, sf_dir, "orders")
+    a = (o.filter("o_orderkey % 100 = 0")
+         .select(F.col("o_orderkey").alias("anchor_key"),
+                 F.col("o_orderdate").alias("a_date")))
+    # an anchor's [a_date, a_date+7d) window spans at most 2 bins
+    a_s = F.col("a_date").cast("timestamp").cast("long")
+    a = a.withColumn(
+        "bin", F.explode(F.array(
+            (a_s / bin_sec).cast("long"), (a_s / bin_sec).cast("long") + 1)))
+    b_s = F.col("b_date").cast("timestamp").cast("long")
+    b = (o.select(F.col("o_orderdate").alias("b_date"))
+         .withColumn("bin", (b_s / bin_sec).cast("long")))
+    cond = (F.col("b_date") >= F.col("a_date")) & (
+        F.col("b_date") < F.col("a_date") + F.expr("INTERVAL 7 DAY"))
+    return (a.join(b, "bin").filter(cond)
+            .groupBy("anchor_key").agg(F.count(F.lit(1)).alias("n_following")))
 
 
 # ---------------------------------------------------------------------------
