@@ -37,15 +37,49 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
 
-def manifest_rows(routed: DataFrame, run_id: str, wall_sec: float) -> DataFrame:
-    """Per-bucket lineage + metrics for one completed pass."""
-    return (routed.groupBy("bucket")
+def manifest_rows(written: DataFrame, run_id: str) -> DataFrame:
+    """Per-bucket lineage + metrics, derived from the WRITTEN sink rows
+    (not from a recomputation of the pipeline — the manifest certifies
+    exactly the bytes that are durable, and deriving it from the files
+    costs a pruned columnar re-read instead of a second parse of the
+    corpus). wall_sec per bucket = its writer task's wall (a task may
+    serve several buckets of one shuffle partition; they share the wall)."""
+    return (written.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("rows"),
                  F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias("parse_failures"),
                  F.sum("n_bytes").alias("bytes"),
-                 F.sum("n_sentences").alias("sentences"))
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("wall_sec", F.lit(float(wall_sec))))
+                 F.sum("n_sentences").alias("sentences"),
+                 F.max("task_wall_sec").alias("wall_sec"),
+                 F.first("partition_id").alias("partition_id"))
+            .withColumn("run_id", F.lit(run_id)))
+
+
+def _with_task_metrics(df: DataFrame) -> DataFrame:
+    """Pass-through mapInPandas stamping every row with its physical
+    output partition id and the task's running wall-clock — measured where
+    the work happens, on the executor, not inferred on the driver. Cost:
+    one extra Arrow crossing on the write path; the per-partition wall
+    the north rule asks for cannot be captured JVM-side from PySpark."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [
+        StructField("partition_id", IntegerType()),
+        StructField("task_wall_sec", DoubleType())])
+
+    def fn(batches):
+        import time as _t
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        t0 = _t.time()
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["partition_id"] = pid
+            pdf["task_wall_sec"] = _t.time() - t0
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
 
 
 def completed_buckets(spark: SparkSession, manifest_dir: str) -> DataFrame:
@@ -75,17 +109,26 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
         n_buckets)
 
     # one pass, one writer per (sink,bucket) partition; dynamic overwrite
-    # makes a bucket re-run idempotent
-    (routed.select(*ROUTED_SINK_COLS, "bucket")
-     .repartition("sink", "bucket")
+    # makes a bucket re-run idempotent; task-metrics stamping rides the
+    # same pass (no second computation of the pipeline)
+    stamped = _with_task_metrics(
+        routed.select(*ROUTED_SINK_COLS, "bucket")
+        .repartition("sink", "bucket"))
+    (stamped
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("sink", "bucket")
      .parquet(sink_dir))
     wall = time.time() - t0
 
+    # manifest from the WRITTEN files (pruned columnar re-read, no
+    # re-parse), restricted to buckets this run produced
     run_id = f"run-{int(t0)}"
-    mrows = manifest_rows(routed, run_id, wall)
+    written_new = (spark.read.parquet(sink_dir)
+                   .select("bucket", "parse_ok", "n_bytes", "n_sentences",
+                           "partition_id", "task_wall_sec")
+                   .join(F.broadcast(done), "bucket", "left_anti"))
+    mrows = manifest_rows(written_new, run_id)
     mrows.coalesce(1).write.mode("append").parquet(manifest_dir)
 
     stats = (spark.read.parquet(manifest_dir)

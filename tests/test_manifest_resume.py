@@ -43,6 +43,12 @@ def test_resume_equals_single_shot(spark, pages, tmp_path):
     # totals match the input exactly (dedup removes 1 duplicate url)
     assert a.count() == pages.select("url").distinct().count()
 
+    # north-rule metrics: per-bucket rows/failures/bytes + the writer
+    # task's wall and partition id, measured on the executor
+    m = spark.read.parquet(f"{single}/manifest")
+    assert m.count() == 16
+    assert m.filter("wall_sec <= 0 OR partition_id IS NULL").count() == 0
+
 
 def test_rerun_is_noop(spark, pages, tmp_path):
     out = str(tmp_path / "once")
