@@ -87,10 +87,10 @@ def main() -> None:
         pipeline.flagship(spark, pages, dedup=False, salted=True))
     from blog_parser_spark.operators import parse as parse_ops
     timings["parse_only"] = _run_warm(parse_ops.parse_pages(pages))
-    timings["sentences_explode"] = _run_warm(
-        parse_ops.explode_sentences(parse_ops.parse_pages(pages)))
-    timings["sentences_fused"] = _run_warm(
+    timings["sentences_default"] = _run_warm(
         parse_ops.sentences_from_pages(pages))
+    timings["sentences_unfused_reference"] = _run_warm(
+        parse_ops.explode_sentences_unfused_reference(parse_ops.parse_pages(pages)))
 
     # relational headliners on the raw fixtures
     qs = qreg.queries()

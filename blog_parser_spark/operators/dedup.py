@@ -181,20 +181,39 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Returns (id_col, component) where component = min node id reachable.
     Each iteration is one join + one aggregate (both shuffle on node id);
     iterations needed = graph diameter in label-hops, which for dedup
-    graphs (small dense clusters) is single digits. localCheckpoint per
-    iteration truncates lineage so plans don't grow unboundedly; the
+    graphs (small dense clusters) is single digits. Per-iteration
+    materialization truncates lineage so plans don't grow unboundedly; the
     convergence check is an exact count of changed labels (driver-side
-    scalar, not a collect of data)."""
+    scalar, not a collect of data).
+
+    Durability: when the SparkContext has a checkpoint dir configured
+    (`sc.setCheckpointDir(...)`) every materialization is a RELIABLE
+    checkpoint — an executor loss mid-iteration recovers from storage.
+    Without one (local dev) it falls back to localCheckpoint, whose
+    blocks die with their executor; a production cluster run MUST set a
+    checkpoint dir, and the label frame per iteration is just
+    (node, component) — two ids/row — so the write is cheap relative to
+    the iteration's own shuffle."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    sc = nodes.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        # checkpoint() is eager in PySpark (materializes now), matching
+        # localCheckpoint's behavior here
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst"))))
     # materialize once: edges are re-joined every iteration, and their
     # upstream lineage (LSH banding + exact-Jaccard verify) must not be
     # re-executed per round
-    edges = edges.localCheckpoint()
+    edges = _cut(edges)
     labels = nodes.select(F.col(id_col).alias("node"),
                           F.col(id_col).alias("component"))
-    labels = labels.localCheckpoint()
+    labels = _cut(labels)
     for _ in range(max_iter):
         neigh_min = (edges.join(labels, edges.dst == labels.node)
                      .groupBy("src").agg(F.min("component").alias("n_min")))
@@ -203,8 +222,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         step = (labels.join(neigh_min, labels.node == neigh_min.src, "left")
                 .select("node", F.col("component").alias("_old"),
                         F.least("component", F.coalesce("n_min", "component"))
-                        .alias("component"))
-                .localCheckpoint())
+                        .alias("component")))
+        step = _cut(step)
         changed = step.filter(F.col("component") != F.col("_old")).count()
         labels = step.drop("_old")
         if changed == 0:

@@ -1,6 +1,7 @@
 """Join operators that need explicit scale engineering (SURVEY.md §2.3):
-the salted skew join. Broadcast/semi/anti/range/as-of joins are plain
-DataFrame calls and live inline in plans/queries.py.
+the salted skew join and the bin-bucketed range join. Broadcast/semi/
+anti/as-of joins are plain DataFrame calls and live inline in
+plans/queries.py.
 """
 
 from __future__ import annotations
@@ -25,3 +26,28 @@ def salted_join_on(fact: DataFrame, dim: DataFrame, key: str, unique_col: str,
         F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>"))))
     out = f.join(d, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def range_join_binned(a: DataFrame, b: DataFrame, a_start: str, b_ts: str,
+                      window_sec: int, how: str = "inner") -> DataFrame:
+    """Scale formulation of the range join `a.start <= b.ts <
+    a.start + window_sec`: bucketize the time axis into window-sized
+    bins and equi-join on the bin, then re-apply the exact predicate.
+    Turns an O(|A|x|B|) nested-loop into a shuffled hash join on _bin.
+
+    Binning uses F.floor (true floor division), NOT a long cast — cast
+    truncates toward zero, so for negative epochs (pre-1970) trunc !=
+    floor and the at-most-2-bins invariant would silently drop pairs.
+    With floor, a window [s, s+W) of width W == bin width spans at most
+    2 bins, so each anchor row is duplicated into exactly those 2.
+
+    `a_start`/`b_ts` are epoch-seconds (long/double) columns."""
+    bin_sec = int(window_sec)
+    if bin_sec < 1:
+        raise ValueError(f"window_sec must be >= 1, got {window_sec}")
+    a_bin = F.floor(F.col(a_start) / bin_sec).cast("long")
+    a2 = a.withColumn("_bin", F.explode(F.array(a_bin, a_bin + 1)))
+    b2 = b.withColumn("_bin", F.floor(F.col(b_ts) / bin_sec).cast("long"))
+    cond = (F.col(b_ts) >= F.col(a_start)) & (
+        F.col(b_ts) < F.col(a_start) + window_sec)
+    return a2.join(b2, "_bin", how).filter(cond).drop("_bin")

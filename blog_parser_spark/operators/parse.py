@@ -144,8 +144,15 @@ def dedup_latest_parsed(parsed: DataFrame) -> DataFrame:
             .drop("html_md5"))
 
 
-def explode_sentences(parsed: DataFrame) -> DataFrame:
-    """parsed -> sentences(url, para_idx, sent_idx, sentence), order-exact.
+def explode_sentences_unfused_reference(parsed: DataFrame) -> DataFrame:
+    """COMPARISON-ONLY two-stage sentence path — do not use in pipelines.
+    The default is `sentences_from_pages` (fused parse+split, one
+    ArrowEvalPython stage): this unfused variant ships every paragraph
+    across Arrow twice and measured ~7x slower at sf0.1 (BENCH_r01
+    14.2s vs 2.05s). It is kept only as the independent formulation the
+    fused path is byte-identity-tested against.
+
+    parsed -> sentences(url, para_idx, sent_idx, sentence), order-exact.
 
     posexplode_outer (not posexplode) on the UDF output: the non-outer
     variant makes Catalyst inject a `size(..)>0` pre-filter that references

@@ -209,15 +209,26 @@ def q_win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("project_basic", """
 SELECT l_orderkey, l_linenumber,
-       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_price,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+            AS DECIMAL(18,4)) AS net_price,
        upper(l_returnflag) AS flag
 FROM lineitem
 """)
 def q_project_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal arithmetic end-to-end: the inputs are cast to
+    DECIMAL(18,4) BEFORE the multiply (fixture prices/discounts carry at
+    most 2 decimal digits, so the double->decimal input cast is
+    unambiguous in any engine), then the product — exact in decimal — is
+    rounded once. Casting the double product instead puts the rounding
+    boundary at a half-ULP the engines resolve differently
+    (CORRECTNESS_r01 hash mismatch)."""
     li = io.read_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
     return li.select(
         "l_orderkey", "l_linenumber",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        (price * (F.lit(1).cast("decimal(18,4)") - disc))
         .cast("decimal(18,4)").alias("net_price"),
         F.upper("l_returnflag").alias("flag"))
 
@@ -260,7 +271,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_name"))
 
 
-@register("join_range", """
+@register("join_range_bnl", """
 SELECT a.o_orderkey AS anchor_key, COUNT(*) AS n_following
 FROM orders a JOIN orders b
   ON b.o_orderdate >= a.o_orderdate
@@ -268,7 +279,10 @@ FROM orders a JOIN orders b
 WHERE a.o_orderkey % 100 = 0
 GROUP BY 1
 """)
-def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_range_bnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPARISON-ONLY broadcast-nested-loop formulation (O(|A|x|B|)).
+    The default `join_range` is the bin-bucketed equi-join in
+    queries_ext2.py — same oracle, hash join, scales."""
     o = io.read_table(spark, sf_dir, "orders")
     a = o.filter("o_orderkey % 100 = 0").select(
         F.col("o_orderkey").alias("anchor_key"), F.col("o_orderdate").alias("a_date"))
@@ -568,7 +582,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(floor(l_quantity) AS BIGINT) AS qfloor,
        CAST(ceil(l_quantity / 2) AS BIGINT) AS qhalf,
        sqrt(CAST(l_quantity AS DOUBLE)) AS qsqrt,
-       ln(CAST(l_quantity AS DOUBLE) + 1) AS qln,
+       round(ln(CAST(l_quantity AS DOUBLE) + 1), 12) AS qln,
        CAST(l_quantity AS BIGINT) % 7 AS qmod
 FROM lineitem
 """)
@@ -581,7 +595,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(q).cast("long").alias("qfloor"),
         F.ceil(q / 2).cast("long").alias("qhalf"),
         F.sqrt(q.cast("double")).alias("qsqrt"),
-        F.log(q.cast("double") + 1).alias("qln"),
+        # ln is the one libm-dependent fn here: JVM Math.log and duckdb's
+        # libm differ by 1 ulp on some inputs; round(12) makes the value
+        # engine-independent (sqrt/abs/floor/ceil are IEEE-exact already)
+        F.round(F.log(q.cast("double") + 1), 12).alias("qln"),
         (q.cast("long") % 7).alias("qmod"))
 
 

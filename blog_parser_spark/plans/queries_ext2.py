@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import custom_pandas
+from ..operators import custom_pandas, joins
 from ..sources import io
 from .registry import register
 
@@ -50,15 +50,15 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# join_range_binned — the SCALE formulation of the range join: bucketize
-# the time axis into 7-day bins and equi-join on the bin (anchor rows are
-# duplicated into the two bins their window can overlap), then re-apply
-# the exact range predicate. Turns the O(|A|x|B|) broadcast-nested-loop
-# into a shuffled hash join on (bin); result identical to join_range
-# (same oracle SQL).
+# join_range — DEFAULT formulation of the range join, the SCALE one:
+# bucketize the time axis into 7-day bins and equi-join on the bin
+# (anchor rows are duplicated into the two bins their window can
+# overlap), then re-apply the exact range predicate. A shuffled hash
+# join on (bin) instead of the O(|A|x|B|) broadcast-nested-loop kept as
+# `join_range_bnl` (queries.py) for comparison; identical oracle SQL.
 # ---------------------------------------------------------------------------
 
-@register("join_range_binned", """
+@register("join_range", """
 SELECT a.o_orderkey AS anchor_key, COUNT(*) AS n_following
 FROM orders a JOIN orders b
   ON b.o_orderdate >= a.o_orderdate
@@ -66,23 +66,15 @@ FROM orders a JOIN orders b
 WHERE a.o_orderkey % 100 = 0
 GROUP BY 1
 """)
-def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bin_sec = 7 * 86400
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = io.read_table(spark, sf_dir, "orders")
     a = (o.filter("o_orderkey % 100 = 0")
          .select(F.col("o_orderkey").alias("anchor_key"),
-                 F.col("o_orderdate").alias("a_date")))
-    # an anchor's [a_date, a_date+7d) window spans at most 2 bins
-    a_s = F.col("a_date").cast("timestamp").cast("long")
-    a = a.withColumn(
-        "bin", F.explode(F.array(
-            (a_s / bin_sec).cast("long"), (a_s / bin_sec).cast("long") + 1)))
-    b_s = F.col("b_date").cast("timestamp").cast("long")
-    b = (o.select(F.col("o_orderdate").alias("b_date"))
-         .withColumn("bin", (b_s / bin_sec).cast("long")))
-    cond = (F.col("b_date") >= F.col("a_date")) & (
-        F.col("b_date") < F.col("a_date") + F.expr("INTERVAL 7 DAY"))
-    return (a.join(b, "bin").filter(cond)
+                 F.col("o_orderdate").cast("timestamp").cast("long")
+                 .alias("a_s")))
+    b = o.select(F.col("o_orderdate").cast("timestamp").cast("long")
+                 .alias("b_s"))
+    return (joins.range_join_binned(a, b, "a_s", "b_s", 7 * 86400)
             .groupBy("anchor_key").agg(F.count(F.lit(1)).alias("n_following")))
 
 

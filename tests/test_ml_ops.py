@@ -124,6 +124,34 @@ def test_connected_components_clusters_and_converges(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
 
 
+def test_connected_components_uses_reliable_checkpoint_when_configured(
+        spark, tmp_path):
+    """With sc.setCheckpointDir configured, CC must cut lineage via
+    RELIABLE checkpoints (files under the dir) so an executor loss
+    mid-iteration is recoverable — localCheckpoint blocks are not."""
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+        pairs = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+        got = {r.doc_id: r.component
+               for r in dedup.connected_components(nodes, pairs).collect()}
+        assert got == {0: 0, 1: 0, 2: 2, 3: 2}
+        import os
+        written = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+        assert written, "no reliable checkpoint files written under the dir"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+
+
+def test_connected_components_rejects_bad_max_iter(spark):
+    nodes = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup.connected_components(nodes, pairs, max_iter=0)
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     n = 6
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")

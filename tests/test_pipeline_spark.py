@@ -110,6 +110,6 @@ def test_sentences_explode_order(spark):
     df = spark.createDataFrame(
         [("https://x/1", __import__("datetime").datetime(2024, 1, 1), html, None, "en")],
         io.PAGES_SCHEMA)
-    sents = parse.explode_sentences(parse.parse_pages(df)).collect()
+    sents = parse.explode_sentences_unfused_reference(parse.parse_pages(df)).collect()
     got = [(r["para_idx"], r["sent_idx"], r["sentence"]) for r in sents]
     assert got == [(0, 0, "One."), (0, 1, "Two!"), (0, 2, "Three?"), (1, 0, "Solo")]

@@ -74,7 +74,7 @@ def test_sentences_fused_matches_two_stage_and_is_one_python_stage(spark):
     pages = io.synth_pages(spark, SF_DIR)
     from blog_parser_spark.operators import parse
     fused = parse.sentences_from_pages(pages)
-    two_stage = (parse.explode_sentences(parse.parse_pages(pages))
+    two_stage = (parse.explode_sentences_unfused_reference(parse.parse_pages(pages))
                  .select(*fused.columns))
     assert fused.exceptAll(two_stage).count() == 0
     assert two_stage.exceptAll(fused).count() == 0

@@ -57,3 +57,20 @@ def test_salted_join_exact_on_skew(spark, pages_skewed):
                                    unique_col="url", salt_buckets=8)
               .groupBy("site_category").agg(F.count(F.lit(1)).alias("n")))
     assert aggregate.multiset_equal(plain, salted)
+
+
+def test_range_join_binned_equals_bruteforce_incl_pre1970(spark):
+    """The binned range join must equal the brute-force nested-loop on
+    epochs spanning 1970 — negative epochs are where cast-truncation
+    binning (trunc != floor) silently drops qualifying pairs."""
+    epochs = [-100, -53, -50, -7, -1, 0, 1, 5, 49, 50, 99, 100]
+    a = spark.createDataFrame([(i, e) for i, e in enumerate(epochs)],
+                              "aid int, a_s long")
+    b = spark.createDataFrame([(j, e + d) for j, e in enumerate(epochs)
+                               for d in (-3, 0, 3, 26)],
+                              "bid int, b_s long")
+    got = sorted((r.aid, r.bid) for r in joins.range_join_binned(
+        a, b, "a_s", "b_s", window_sec=50).collect())
+    want = sorted((r.aid, r.bid) for r in a.crossJoin(b)
+                  .filter("b_s >= a_s AND b_s < a_s + 50").collect())
+    assert got == want and len(want) > 0

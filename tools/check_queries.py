@@ -20,10 +20,15 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _canon(v):
+    # FULL-precision float canon (repr = shortest round-trip string): a
+    # query only passes if both engines produce the bit-identical double.
+    # This is deliberately at least as strict as the driver's hash — the
+    # repo's determinism conventions (decimal partials, pure-function
+    # salts, unique tie-breaks) exist so queries survive exactly this.
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.10g}"
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
