@@ -98,6 +98,13 @@ def main() -> None:
                  "agg_sink_counts"):
         timings[name] = _run_warm(qs[name](spark, sf_dir))
 
+    # training-data ops layer: bucketed near-dup, LSH ANN, CC clustering,
+    # text quality — the 100 TB-shaped formulations, timed per round so
+    # regressions in the dedup/ANN plans show up next to the flagship
+    for name in ("dedup_minhash_lsh", "ann_lsh_bucketed",
+                 "dedup_components", "text_quality"):
+        timings[name] = _run_warm(qs[name](spark, sf_dir))
+
     flagship = timings["flagship_e2e"]
     print(json.dumps({
         "metric": "flagship parse→enrich→route→aggregate wall-clock",

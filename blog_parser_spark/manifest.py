@@ -9,7 +9,9 @@ that produced it.
 
 Resume protocol (exactly-once per bucket):
   1. read manifest -> completed bucket set
-  2. anti-join input against completed buckets (join_anti)
+  2. filter input to buckets NOT IN the completed set (a literal
+     IN-filter on the bucket partition column — partition-prunable,
+     unlike an anti-join)
   3. write sinks with partitionBy(sink, bucket) under dynamic partition
      overwrite -> a re-run of a half-written bucket overwrites its own
      partitions and nobody else's
@@ -22,6 +24,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 from .plans import pipeline
 
@@ -38,13 +41,19 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
 
 
 def manifest_rows(written: DataFrame, run_id: str) -> DataFrame:
-    """Per-bucket lineage + metrics, derived from the WRITTEN sink rows
-    (not from a recomputation of the pipeline — the manifest certifies
-    exactly the bytes that are durable, and deriving it from the files
-    costs a pruned columnar re-read instead of a second parse of the
-    corpus). wall_sec per bucket = its writer task's wall (a task may
-    serve several buckets of one shuffle partition; they share the wall)."""
-    return (written.groupBy("bucket")
+    """Per-(sink, bucket) lineage + metrics, derived from the WRITTEN sink
+    rows (not from a recomputation of the pipeline — the manifest
+    certifies exactly the bytes that are durable, and deriving it from
+    the files costs a pruned columnar re-read instead of a second parse
+    of the corpus).
+
+    Granularity is (sink, bucket) because that is the write's repartition
+    key: one shuffle partition — hence ONE writer task — holds all rows
+    of a (sink, bucket) group, so max(task_wall_sec) is that single
+    task's wall and first(partition_id) is the group's one well-defined
+    partition id (pmod of the key hash — stable across runs). Grouping
+    by bucket alone would mix clocks of the different per-sink tasks."""
+    return (written.groupBy("sink", "bucket")
             .agg(F.count(F.lit(1)).alias("rows"),
                  F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias("parse_failures"),
                  F.sum("n_bytes").alias("bytes"),
@@ -95,13 +104,19 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
     """One resumable pass of the full pipeline into fan-out sinks.
 
     Returns run metrics. Call again after a failure with the same out_dir:
-    completed buckets are skipped via anti-join on the manifest."""
+    completed buckets are skipped via a partition-prunable NOT-IN filter
+    against the manifest's completed-bucket set."""
     sink_dir = f"{out_dir}/sinks"
     manifest_dir = f"{out_dir}/manifest"
 
     src = with_bucket(pages, n_buckets)
-    done = completed_buckets(spark, manifest_dir)
-    todo = src.join(F.broadcast(done), "bucket", "left_anti")
+    # completed buckets as a driver-side list: bounded by n_buckets (a
+    # config constant, not data volume), so collecting it is O(config);
+    # it buys literal IN-filters below that Spark can push into partition
+    # pruning — a join never prunes a parquet scan
+    done_ids = [r["bucket"]
+                for r in completed_buckets(spark, manifest_dir).collect()]
+    todo = src.filter(~F.col("bucket").isin(done_ids)) if done_ids else src
 
     t0 = time.time()
     routed = with_bucket(
@@ -121,13 +136,24 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
      .parquet(sink_dir))
     wall = time.time() - t0
 
-    # manifest from the WRITTEN files (pruned columnar re-read, no
-    # re-parse), restricted to buckets this run produced
+    # manifest from the WRITTEN files: the NOT-IN literal on the bucket
+    # partition column partition-PRUNES the scan to only the buckets this
+    # run wrote (an anti-join cannot prune — a resume would re-read the
+    # whole corpus of previously written buckets). The explicit read
+    # schema (taken from what we just wrote) makes the read robust to
+    # sinks written by older layouts: missing columns come back null
+    # instead of failing schema inference.
     run_id = f"run-{int(t0)}"
-    written_new = (spark.read.parquet(sink_dir)
-                   .select("bucket", "parse_ok", "n_bytes", "n_sentences",
-                           "partition_id", "task_wall_sec")
-                   .join(F.broadcast(done), "bucket", "left_anti"))
+    mcols = ["sink", "bucket", "parse_ok", "n_bytes", "n_sentences",
+             "partition_id", "task_wall_sec"]
+    by_name = {f.name: f for f in stamped.schema.fields}
+    read_schema = StructType([by_name[c] for c in mcols])
+    written_new = (spark.read.schema(read_schema)
+                   .option("basePath", sink_dir).parquet(sink_dir)
+                   .filter(~F.col("bucket").isin(done_ids))
+                   if done_ids else
+                   spark.read.schema(read_schema)
+                   .option("basePath", sink_dir).parquet(sink_dir))
     mrows = manifest_rows(written_new, run_id)
     mrows.coalesce(1).write.mode("append").parquet(manifest_dir)
 

@@ -107,6 +107,38 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"))
 
 
+@register("agg_approx_percentile")  # no oracle: sketch result, rows-only check
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metrics-at-scale quantile path: percentile_approx is Spark's
+    mergeable Greenwald-Khanna-style sketch — map-side partial sketches
+    merge associatively, so the shuffle carries one sketch per group per
+    partition instead of every value (exact `agg_percentile` must see all
+    values). Rank error <= 1/accuracy; bounded-error vs exact is asserted
+    in tests/test_sinks.py."""
+    o = io.read_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("ap90"))
+
+
+@register("agg_hll_union")  # no oracle: sketch result, rows-only check
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-and-merged distinct sketches — the pattern behind
+    incremental distinct-count rollups at corpus scale: per-group
+    Datasketches HLL sketches (hll_sketch_agg) are UNIONED across groups
+    (hll_union_agg) instead of rescanning raw data. approx_count_distinct
+    cannot do this (its HLL++ binary is not exposed); these sketches are
+    storable columns, so daily partitions can each keep a sketch and any
+    date-range distinct-count is a cheap union. Bounded error asserted in
+    tests/test_sinks.py."""
+    ev = io.read_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"))
+    return per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .alias("approx_total_users"))
+
+
 @register("agg_minmax_by", """
 SELECT event_type,
   arg_min(event_id, ts) AS first_event_id,

@@ -155,11 +155,16 @@ def compact_partition_dir(spark: SparkSession, root: str, partition_col: str,
     rewrite — content equality is asserted in tests. Returns
     {partition_value: n_files_written}.
 
-    Crash safety: scratch dirs live under dot-prefixed names
+    Crash safety (OFFLINE maintenance tool — do not run readers
+    concurrently): scratch dirs live under dot-prefixed names
     (".compact_tmp_<part>" / ".compact_old_<part>"), which Spark's
-    partition discovery ignores and the partition filter below never
-    matches, so a reader of `root` at ANY point sees either the old or the
-    new files of a partition, never both and never scratch. A recovery
+    partition discovery ignores, so a reader never sees scratch files or
+    a partition's old and new files together. But between the two
+    renames of the swap a partition is briefly ABSENT — a concurrent
+    reader would silently miss its rows; crash recovery is what the
+    rename protocol guarantees, not concurrent-reader isolation. (On
+    Iceberg, compaction is a snapshot commit and readers are isolated
+    for free.) A recovery
     pass finishes or rolls back whatever a previous crash left behind:
     tmp-only -> delete tmp (rewrite never committed); old present with the
     partition missing -> restore old (crash between the two renames); old

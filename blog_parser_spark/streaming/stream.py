@@ -82,6 +82,19 @@ def dedup_urls(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
             .dropDuplicatesWithinWatermark(["url"]))
 
 
+def enrich_stream_static(pages: DataFrame, lang_dim: DataFrame) -> DataFrame:
+    """stream-static join: the streaming side joins a STATIC broadcast dim
+    inside the streaming query itself (no foreachBatch hop) — Spark plans
+    this as a stateless per-microbatch broadcast hash join, so it needs no
+    watermark and no state store. This is the enrich shape for dims that
+    change rarely; fast-changing dims go through foreachBatch (re-read per
+    batch) or a stream-stream join. Same transform as the batch enrich —
+    one code path, two execution modes."""
+    from ..operators import enrich as enrich_ops
+
+    return enrich_ops.join_lang_norm(pages, lang_dim)
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running per-user
     event count + value total, kept in the state store across micro-batches.

@@ -46,7 +46,7 @@ def test_resume_equals_single_shot(spark, pages, tmp_path):
     # north-rule metrics: per-bucket rows/failures/bytes + the writer
     # task's wall and partition id, measured on the executor
     m = spark.read.parquet(f"{single}/manifest")
-    assert m.count() == 16
+    assert m.select("bucket").distinct().count() == 16
     assert m.filter("wall_sec <= 0 OR partition_id IS NULL").count() == 0
 
 
@@ -66,3 +66,22 @@ def test_quarantine_sink_holds_failures(spark, pages, tmp_path):
     q = spark.read.parquet(f"{out}/sinks").filter("sink = 'quarantine'")
     assert q.count() == 3
     assert q.filter(F.col("parse_err").isNull()).count() == 0
+
+
+def test_resume_scan_partition_prunes_completed_buckets(spark, pages, tmp_path):
+    """The manifest-derivation re-read on resume must PRUNE completed
+    buckets at the scan (PartitionFilters on the bucket partition column),
+    not filter them after a full-corpus read."""
+    out = str(tmp_path / "pruned")
+    manifest.run_resumable(spark, pages, out, n_buckets=8)
+    done = [r["bucket"] for r in
+            manifest.completed_buckets(spark, f"{out}/manifest").collect()]
+    scan = (spark.read.option("basePath", f"{out}/sinks")
+            .parquet(f"{out}/sinks")
+            .filter(~F.col("bucket").isin(done[:4])))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the filter must appear inside PartitionFilters, not only as a
+    # post-scan Filter node
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf

@@ -100,6 +100,19 @@ def test_approx_distinct_within_error_bound(spark):
     assert abs(approx - exact) <= 0.15 * exact
 
 
+def test_approx_percentile_within_rank_error_bound(spark):
+    """percentile_approx(accuracy=A) guarantees rank error <= n/A; with
+    A=10000 >= n the sketch is rank-exact, so its output must land within
+    one data point of the continuous-interpolation exact percentile."""
+    o = io.read_table(spark, SF_DIR, "orders")
+    row = o.agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("ex")).collect()[0]
+    vals = sorted(r[0] for r in o.select("o_totalprice").collect())
+    neighbor_gap = max(b - a for a, b in zip(vals, vals[1:]))
+    assert abs(row["ap"] - row["ex"]) <= neighbor_gap
+
+
 def test_compaction_recovers_from_simulated_crashes(spark, tmp_path):
     import os, shutil
     out = str(tmp_path / "sink")
@@ -127,3 +140,15 @@ def test_compaction_recovers_from_simulated_crashes(spark, tmp_path):
              .select("doc_id", "lang", "text").orderBy("doc_id").collect())
     assert [tuple(r) for r in after] == expected
     assert not any(d.startswith(".compact") for d in os.listdir(out))
+
+
+def test_hll_union_estimate_within_error_bound(spark):
+    """Union of per-group HLL sketches must estimate the GLOBAL distinct
+    count (not the sum of per-group counts) within HLL error (~2% at
+    lgK=12; allow 5%)."""
+    ev = io.read_table(spark, SF_DIR, "events")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    est = (ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+           .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+           .collect()[0]["n"])
+    assert abs(est - exact) <= 0.05 * exact

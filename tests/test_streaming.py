@@ -129,3 +129,25 @@ def test_streaming_dedup_urls(spark, tmp_path):
     _await(stream.start_windowed(dd.select("url", "warc_ts"), out, ck))
     got = spark.read.parquet(out)
     assert got.count() == pages.select("url").distinct().count()
+
+
+def test_stream_static_broadcast_join_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrich inside the streaming query (no
+    foreachBatch) must equal the batch broadcast join over the same
+    input, and needs no watermark (stateless join)."""
+    from blog_parser_spark.operators import enrich as enrich_ops
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    pages = io.synth_pages(spark, SF_DIR)
+    pages.coalesce(2).write.mode("overwrite").parquet(src)
+
+    enriched = stream.enrich_stream_static(
+        stream.stream_pages(spark, src), io.lang_norm_df(spark))
+    _await(stream.start_windowed(
+        enriched.select("url", "lang", "lang_norm"), out, ck))
+
+    got = spark.read.parquet(out)
+    exp = (enrich_ops.join_lang_norm(spark.read.parquet(src),
+                                     io.lang_norm_df(spark))
+           .select("url", "lang", "lang_norm"))
+    assert aggregate.multiset_equal(got, exp)
