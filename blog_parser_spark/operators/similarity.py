@@ -11,7 +11,7 @@ O(Q x N / 2^planes) on hash-uniform data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 N_PLANES = 6   # sign-LSH hyperplanes per table -> 64 buckets/table
 N_TABLES = 4   # independent tables; candidates = union (standard L-tables
@@ -94,4 +94,84 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .distinct())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = N_CENTROIDS,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid pick: the n_centroids corpus vectors with the
+    smallest xxhash64(id) — a pure function of the data (stable across
+    retries/partitionings), standing where a k-means refinement would go;
+    the IVF plumbing (assign, probe, list-join) is identical either way.
+    TakeOrdered on the hash, so no full sort and no driver collect of data
+    beyond the K centroids themselves."""
+    return (corpus
+            .select(F.col(id_col).alias("cid_src"), F.col(vec_col).alias("centroid"))
+            .withColumn("_h", F.xxhash64(F.col("cid_src").cast("string")))
+            .orderBy("_h", "cid_src").limit(n_centroids)
+            .withColumn("centroid_id", F.row_number().over(
+                Window.orderBy("_h", "cid_src")) - 1)
+            .select("centroid_id", "centroid"))
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Inverted lists: each corpus vector goes to its nearest centroid
+    (max cosine; (score, -centroid_id) struct-max for a deterministic
+    tie-break). Centroids are broadcast — the corpus never shuffles for
+    assignment; the only shuffle is the N-row groupBy(id) with map-side
+    combine."""
+    scored = (corpus.select(F.col(id_col), F.col(vec_col))
+              .crossJoin(F.broadcast(centroids))
+              .select(id_col, vec_col,
+                      F.struct(
+                          F.round(cosine(F.col(vec_col), F.col("centroid")), 9)
+                          .alias("s"),
+                          (-F.col("centroid_id")).alias("neg_cid"))
+                      .alias("sc")))
+    return (scored.groupBy(id_col, vec_col)
+            .agg(F.max("sc").alias("best"))
+            .select(id_col, vec_col,
+                    (-F.col("best.neg_cid")).cast("int").alias("centroid_id")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: each query probes its n_probe nearest centroids and
+    scores ONLY those inverted lists (equi-join on centroid_id), turning
+    O(Q x N) into O(Q x N x n_probe / n_centroids) on balanced lists.
+    Exact cosine on every scored pair; with n_probe == n_centroids this
+    degenerates to exact brute force (asserted in tests). At corpus scale
+    the lists are a bucketed layout: write the assignment once
+    (partitionBy centroid_id), and every query batch prunes to its probed
+    partitions."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    lists = ivf_assign(corpus, cents, id_col, vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_scored = (q.crossJoin(F.broadcast(cents))
+                .select("query_id", "qv", "centroid_id",
+                        F.round(cosine(F.col("qv"), F.col("centroid")), 9)
+                        .alias("cs")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("centroid_id"))
+    probes = (q_scored.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= n_probe)
+              .select("query_id", "qv", "centroid_id"))
+
+    cand = (F.broadcast(probes)
+            .join(lists.select(F.col(id_col).alias("cand_id"),
+                               F.col(vec_col).alias("cv"), "centroid_id"),
+                  "centroid_id")
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id",
+                    F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -253,6 +253,16 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter("vec_id < 5"), k=5)
 
 
+@register("ann_ivf_topk")  # approximate pruning -> rows-only driver check
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic centroids, broadcast assignment, probe-only
+    list scan (equi-join on centroid_id). With n_probe == n_centroids it
+    equals brute force exactly (tests/test_ml_ops.py); recall at the
+    default probe fraction is also pinned there."""
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter("vec_id < 5"), k=5)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

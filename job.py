@@ -33,6 +33,10 @@ def main() -> None:
     from blog_parser_spark.sources import io
 
     spark = get_spark("blog-parser-pipeline")
+    # reliable checkpoint dir under the job's own output root: iterative
+    # operators (connected_components) and any df.checkpoint() users get
+    # executor-loss-safe lineage cuts on a cluster without extra config
+    spark.sparkContext.setCheckpointDir(f"{args.out}/_checkpoints")
 
     if args.mode == "streaming":
         from blog_parser_spark.streaming import stream
