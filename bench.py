@@ -48,7 +48,11 @@ def main() -> None:
 
     from blog_parser_spark.session import get_spark
     from blog_parser_spark.sources import io
-    from blog_parser_spark.plans import pipeline, queries as qreg
+    from blog_parser_spark.plans import pipeline
+    # the registry fills as query modules import; __spark_entry__ imports
+    # them ALL (queries, ext, ext2, ml) — importing only plans.queries here
+    # would leave the dedup/ANN entries unregistered (KeyError)
+    import __spark_entry__ as qreg
     from pyspark.sql import functions as F
 
     spark = get_spark("bench", master=f"local[{cpus}]",
@@ -92,18 +96,26 @@ def main() -> None:
     timings["sentences_unfused_reference"] = _run_warm(
         parse_ops.explode_sentences_unfused_reference(parse_ops.parse_pages(pages)))
 
-    # relational headliners on the raw fixtures
+    # registry queries are timed INCLUDING construction: iterative ops
+    # (dedup_components) do their joins/checkpoints eagerly while the
+    # query callable builds the frame — timing only the final write would
+    # report ~0 for them. Build+run twice, keep the second.
     qs = qreg.queries()
-    for name in ("join_smj", "agg_rollup", "win_ntile_percent",
-                 "agg_sink_counts"):
-        timings[name] = _run_warm(qs[name](spark, sf_dir))
 
-    # training-data ops layer: bucketed near-dup, LSH ANN, CC clustering,
-    # text quality — the 100 TB-shaped formulations, timed per round so
-    # regressions in the dedup/ANN plans show up next to the flagship
-    for name in ("dedup_minhash_lsh", "ann_lsh_bucketed",
+    def _run_built(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    # relational headliners on the raw fixtures, then the training-data
+    # ops layer (bucketed near-dup, LSH ANN, CC clustering, text quality)
+    # — the 100 TB-shaped formulations, timed per round so regressions in
+    # the dedup/ANN plans show up next to the flagship
+    for name in ("join_smj", "agg_rollup", "win_ntile_percent",
+                 "agg_sink_counts", "dedup_minhash_lsh", "ann_lsh_bucketed",
                  "dedup_components", "text_quality"):
-        timings[name] = _run_warm(qs[name](spark, sf_dir))
+        _run_built(name)
+        timings[name] = _run_built(name)
 
     flagship = timings["flagship_e2e"]
     print(json.dumps({

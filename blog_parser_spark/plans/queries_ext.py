@@ -94,6 +94,24 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                               for i in range(4)]))
 
 
+@register("set_unpivot", """
+SELECT doc_id, metric, CAST(val AS BIGINT) AS val
+FROM (SELECT doc_id, n_chars, length(string_split(text, ' ')) AS n_words
+      FROM documents)
+UNPIVOT (val FOR metric IN (n_chars, n_words))
+""")
+def q_set_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt (df.unpivot / SQL UNPIVOT): the inverse of
+    agg_pivot. Runs as a JVM Expand node — each input row emits one row
+    per value column, no shuffle, no Python."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"))
+    return (wide.unpivot("doc_id", ["n_chars", "n_words"], "metric", "val")
+            .select("doc_id", "metric", F.col("val").cast("long").alias("val")))
+
+
 @register("agg_percentile", """
 SELECT o_orderstatus AS status,
   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

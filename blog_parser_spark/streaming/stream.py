@@ -95,6 +95,27 @@ def enrich_stream_static(pages: DataFrame, lang_dim: DataFrame) -> DataFrame:
     return enrich_ops.join_lang_norm(pages, lang_dim)
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       max_lag: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """stream-stream inner join: pair each left event with the right
+    events of the SAME user that happened in [left_ts - max_lag, left_ts].
+    Both sides carry watermarks AND the join condition bounds event time —
+    together they let Spark evict join state (without the time bound the
+    state store grows forever). Inner-join output is exactly the matched
+    pairs, so batch parity is exact (tested)."""
+    l = left.select(F.col("event_id").alias("l_id"), "user_id",
+                    F.col("ts").alias("l_ts")).withWatermark("l_ts", watermark)
+    r = right.select(F.col("event_id").alias("r_id"),
+                     F.col("user_id").alias("r_user_id"),
+                     F.col("ts").alias("r_ts")).withWatermark("r_ts", watermark)
+    cond = ((F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") <= F.col("l_ts"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {max_lag}")))
+    return (l.join(r, cond, "inner")
+            .select("l_id", "r_id", "user_id", "l_ts", "r_ts"))
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running per-user
     event count + value total, kept in the state store across micro-batches.

@@ -151,3 +151,32 @@ def test_stream_static_broadcast_join_matches_batch(spark, tmp_path):
                                      io.lang_norm_df(spark))
            .select("url", "lang", "lang_norm"))
     assert aggregate.multiset_equal(got, exp)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join (clicks x prior views of the
+    same user within 1h) must equal the batch join exactly — inner output
+    is the matched-pair set, independent of state eviction timing."""
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    ev = io.read_table(spark, SF_DIR, "events")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+
+    s = stream.stream_events(spark, src)
+    joined = stream.stream_stream_join(
+        s.filter("event_type = 'click'"), s.filter("event_type = 'view'"))
+    _await(stream.start_windowed(joined, out, ck))
+
+    got = spark.read.parquet(out)
+    b = spark.read.parquet(src)
+    l = (b.filter("event_type = 'click'")
+         .select(F.col("event_id").alias("l_id"), "user_id",
+                 F.col("ts").alias("l_ts")))
+    r = (b.filter("event_type = 'view'")
+         .select(F.col("event_id").alias("r_id"),
+                 F.col("user_id").alias("r_user_id"), F.col("ts").alias("r_ts")))
+    exp = (l.join(r, (F.col("user_id") == F.col("r_user_id"))
+                  & (F.col("r_ts") <= F.col("l_ts"))
+                  & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR")))
+           .select("l_id", "r_id", "user_id", "l_ts", "r_ts"))
+    assert exp.count() > 0
+    assert aggregate.multiset_equal(got, exp)
