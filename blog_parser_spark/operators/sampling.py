@@ -1,0 +1,49 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Random sampling (df.sample, TABLESAMPLE) is non-reproducible across
+retries/partitionings and impossible to oracle-check; these operators
+sample by a pure hash of the data instead, so the SAME rows are chosen on
+every engine, every run, every cluster size — and a sample can be widened
+later (p=1% ⊂ p=10% with the same hash) without resampling, which random
+sampling cannot do.
+
+Hash idiom shared with the dedup/textstats family: md5-hex prefix ->
+bigint (reproducible bit-for-bit in DuckDB as
+CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+HASH_MOD = 1_000_000  # ppm granularity for sample fractions
+
+
+def row_hash(col: Column) -> Column:
+    """60-bit stable row hash of a string column (cross-engine)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10) \
+        .cast("long")
+
+
+def sample_fraction(df: DataFrame, key_col: str, ppm: int) -> DataFrame:
+    """Keep rows whose hash lands in the first `ppm` parts-per-million of
+    hash space. Scan + filter only — no shuffle, no state; filters push
+    into the scan when key_col is a stored column. Samples NEST: the
+    ppm=10_000 sample is a subset of the ppm=100_000 one."""
+    if not 0 <= ppm <= HASH_MOD:
+        raise ValueError(f"ppm must be in [0, {HASH_MOD}], got {ppm}")
+    return df.filter(
+        F.pmod(row_hash(F.col(key_col).cast("string")), F.lit(HASH_MOD)) < ppm)
+
+
+def sample_stratified_topn(df: DataFrame, group_col: str, key_col: str,
+                           n_per_group: int) -> DataFrame:
+    """Exactly n rows per group (fewer if the group is smaller), chosen by
+    smallest hash — a deterministic stratified sample. row_number over
+    (group, hash) is rewritten by Spark 4 to WindowGroupLimit, so
+    non-winning rows collapse map-side before the shuffle: the shuffle
+    carries O(groups x n), not O(rows)."""
+    h = F.pmod(row_hash(F.col(key_col).cast("string")), F.lit(HASH_MOD))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_per_group).drop("_rn"))

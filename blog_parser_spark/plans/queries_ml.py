@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import dedup, multimodal, similarity, textstats
+from ..operators import dedup, multimodal, sampling, similarity, textstats
 from ..sources import io
 from .registry import register
 
@@ -303,3 +303,34 @@ FROM documents WHERE doc_id % 3 = 2
 """)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(multimodal.synth_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling — training pipelines sample corpora constantly;
+# hash sampling is reproducible across engines/retries/cluster sizes and
+# nests (1% subset of 10%), which random sampling cannot do.
+# ---------------------------------------------------------------------------
+
+@register("sample_deterministic", """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000000 < 100000
+""")
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    return (sampling.sample_fraction(docs, "doc_id", ppm=100_000)
+            .select("doc_id", "lang", "n_chars"))
+
+
+@register("sample_stratified", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 1000000 ASC, doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 10
+""")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    return (sampling.sample_stratified_topn(docs, "lang", "doc_id", 10)
+            .select("doc_id", "lang"))

@@ -197,3 +197,38 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     # concentrate in probed lists so recall beats the scan fraction
     assert len(ivf & bf) / len(bf) >= 0.3
     assert all(a != b for a, b in ivf)
+
+
+def test_hash_sampling_nests_and_is_deterministic(spark):
+    """The ppm=10k sample must be a SUBSET of the ppm=100k sample (hash
+    sampling nests — you can widen a sample without resampling), and
+    re-running yields the identical row set."""
+    from blog_parser_spark.operators import sampling
+    from blog_parser_spark.sources import io
+    docs = io.read_table(spark, SF_DIR, "documents")
+    small = {r.doc_id for r in
+             sampling.sample_fraction(docs, "doc_id", 10_000).select("doc_id").collect()}
+    big = {r.doc_id for r in
+           sampling.sample_fraction(docs, "doc_id", 100_000).select("doc_id").collect()}
+    again = {r.doc_id for r in
+             sampling.sample_fraction(docs, "doc_id", 100_000).select("doc_id").collect()}
+    assert small <= big and big == again
+    with pytest.raises(ValueError):
+        sampling.sample_fraction(docs, "doc_id", -1)
+
+
+def test_stratified_sample_plan_uses_window_group_limit(spark):
+    """The stratified sampler must plan as WindowGroupLimit (map-side
+    collapse of non-winning rows before the shuffle), and return exactly
+    min(n, group size) rows per group."""
+    from blog_parser_spark.operators import sampling
+    from blog_parser_spark.sources import io
+    docs = io.read_table(spark, SF_DIR, "documents")
+    s = sampling.sample_stratified_topn(docs, "lang", "doc_id", 10)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    per = {r.lang: r.n for r in
+           s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {k: min(10, v) for k, v in sizes.items()}
