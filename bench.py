@@ -117,6 +117,30 @@ def main() -> None:
         _run_built(name)
         timings[name] = _run_built(name)
 
+    # scaled near-dup leg: 100k docs (20x replicated, distinct ids, token
+    # perturbation) through the FULL shingle->minhash->band->verify
+    # pipeline with the hot-bucket cap on — the configuration a web
+    # corpus runs, at a size where per-doc cost dominates overhead
+    from blog_parser_spark.operators import dedup as dedup_ops
+    nd_path = f"/tmp/bench_neardup_sf{sf}_x20.parquet"
+    if not os.path.exists(nd_path):
+        docs = io.read_table(spark, sf_dir, "documents")
+        tmp = nd_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (docs.select("doc_id", "text")
+         .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(19))))
+         .select((F.col("doc_id") + F.col("i") * F.lit(10_000_000)).alias("doc_id"),
+                 F.concat_ws(" ", "text",
+                             F.concat(F.lit("v"), F.col("i").cast("string")))
+                 .alias("text"))
+         .repartition(cpus).write.mode("overwrite").parquet(tmp))
+        os.rename(tmp, nd_path)
+    nd = spark.read.parquet(nd_path)
+    t0 = time.time()
+    (dedup_ops.near_dup_pairs_minhash(nd, threshold=0.6, max_bucket_size=64)
+     .write.mode("overwrite").format("noop").save())
+    timings["dedup_minhash_100k"] = time.time() - t0
+
     flagship = timings["flagship_e2e"]
     print(json.dumps({
         "metric": "flagship parse→enrich→route→aggregate wall-clock",

@@ -79,10 +79,21 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band the signatures and self-join on (band, band_key): only docs
     sharing a full band collide — the classic LSH bucket join. Output
-    distinct (id_a < id_b) candidate pairs."""
+    distinct (id_a < id_b) candidate pairs.
+
+    max_bucket_size is the 100 TB skew guard: a band bucket with B
+    members emits B^2 candidate pairs, and web corpora have degenerate
+    buckets (boilerplate/template pages sharing a band) that turn the
+    self-join quadratic. Capping drops buckets larger than the limit
+    BEFORE the join — a bounded, documented recall trade (docs colliding
+    only via a hot bucket are missed; truly similar pairs still collide
+    in their other 15 bands). Run exact dedup first so identical docs
+    (which share every band) never form hot buckets. Default None keeps
+    the operator exact-recall and oracle-reproducible."""
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.md5(F.concat_ws(",", *[
@@ -91,6 +102,14 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for b in range(LSH_BANDS)])
     exploded = (sig.select(id_col, F.explode(bands).alias("bk"))
                 .select(id_col, "bk.band", "bk.band_key"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        # one count-over-window on the same (band, band_key) partitioning
+        # the join shuffles on anyway — no extra shuffle stage
+        w = Window.partitionBy("band", "band_key")
+        exploded = (exploded
+                    .withColumn("_bsz", F.count(F.lit(1)).over(w))
+                    .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
     a = exploded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = exploded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (a.join(b, ["band", "band_key"])
@@ -115,9 +134,12 @@ def exact_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
 
 
 def near_dup_pairs_minhash(docs: DataFrame, threshold: float = 0.6,
-                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """MinHash-LSH candidates -> exact-Jaccard verify -> threshold filter."""
-    cand = lsh_candidate_pairs(minhash_signature(docs, id_col, text_col), id_col)
+                           id_col: str = "doc_id", text_col: str = "text",
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """MinHash-LSH candidates -> exact-Jaccard verify -> threshold filter.
+    Set max_bucket_size at corpus scale (see lsh_candidate_pairs)."""
+    cand = lsh_candidate_pairs(minhash_signature(docs, id_col, text_col),
+                               id_col, max_bucket_size)
     return (exact_jaccard(cand, docs, id_col, text_col)
             .filter(F.col("jaccard") >= threshold))
 

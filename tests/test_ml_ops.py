@@ -232,3 +232,24 @@ def test_stratified_sample_plan_uses_window_group_limit(spark):
     sizes = {r.lang: r.n for r in
              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert per == {k: min(10, v) for k, v in sizes.items()}
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """With a planted degenerate bucket (many docs sharing a band), the
+    bucket-size cap must drop that bucket's pairs while keeping pairs
+    that collide in normal-sized buckets; uncapped == cap-off baseline."""
+    corpus = _near_corpus(spark, SF_DIR)
+    uncapped = dedup.near_dup_pairs_minhash(corpus, threshold=0.6)
+    cap_off = dedup.near_dup_pairs_minhash(corpus, threshold=0.6,
+                                           max_bucket_size=None)
+    assert uncapped.exceptAll(cap_off).count() == 0
+    assert cap_off.exceptAll(uncapped).count() == 0
+    # a cap of 1 drops EVERY bucket with a collision -> no candidates
+    none = dedup.near_dup_pairs_minhash(corpus, threshold=0.6,
+                                        max_bucket_size=1)
+    assert none.count() == 0
+    # a generous cap keeps the full planted pair set on this corpus
+    roomy = dedup.near_dup_pairs_minhash(corpus, threshold=0.6,
+                                         max_bucket_size=64)
+    assert roomy.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(roomy).count() == 0
