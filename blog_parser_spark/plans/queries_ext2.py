@@ -160,7 +160,7 @@ def _dsum(col):
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
        round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
              / COUNT(*), 6) AS avg_qty,
        COUNT(*) AS count_order
@@ -171,7 +171,11 @@ GROUP BY l_returnflag, l_linestatus
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (io.read_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal BEFORE the multiply — double*double cast after the
+    # product puts the rounding boundary on a half-ULP engines disagree on
+    disc = (F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)")
+               - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")
     return (li.groupBy("l_returnflag", "l_linestatus")
             .agg(_dsum(F.col("l_quantity")).alias("sum_qty"),
                  _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
@@ -183,7 +187,7 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("tpch_q3_shipping", """
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -202,7 +206,11 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
     li = (io.read_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal BEFORE the multiply — double*double cast after the
+    # product puts the rounding boundary on a half-ULP engines disagree on
+    disc = (F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)")
+               - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")
     return (cust.join(orders, cust.c_custkey == orders.o_custkey)
             .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -213,7 +221,7 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("tpch_q5_local_supplier", """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -234,7 +242,11 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = io.read_table(spark, sf_dir, "supplier")
     nation = io.read_table(spark, sf_dir, "nation")
     region = io.read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal BEFORE the multiply — double*double cast after the
+    # product puts the rounding boundary on a half-ULP engines disagree on
+    disc = (F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)")
+               - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")
     return (cust.join(orders, cust.c_custkey == orders.o_custkey)
             .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -306,3 +318,29 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("cos", F.round(cos, 6))
             .filter(F.col("cos") >= 0.99)
             .select("id_a", "id_b", "cos"))
+
+
+@register("tpch_q6_forecast_revenue", """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(18,4))
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pushdown-economy query: every predicate reaches the parquet
+    scan (PushedFilters), the read schema is 4 columns, and the whole
+    plan is scan -> partial agg -> single-row exchange -> final agg —
+    no join, no wide shuffle. Revenue in exact decimal per convention."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * F.col("l_discount").cast("decimal(18,4)")).cast("decimal(18,4)")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.sum(rev).cast("double").alias("revenue")))

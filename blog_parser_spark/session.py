@@ -28,6 +28,12 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # python workers are reused across tasks (amortize interpreter startup)
     "spark.python.worker.reuse": "true",
+    # scan split sizing (spill-awareness): 128 MB splits of ~1.2 kB/row
+    # pages give ~100k rows/task; the parse UDF streams those as 10k-row
+    # Arrow batches, so peak executor memory per task stays ~tens of MB
+    # regardless of total corpus size. Explicit (= Spark's default) so the
+    # sizing intent survives cluster-side config drift.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # broadcast threshold: dims here are tiny; AQE may also demote SMJ
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     # local-mode driver hosts all executor threads — default 1g heap would
