@@ -100,3 +100,31 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(canon.cast("binary")).alias("canon_md5"),
         F.array_min(F.transform(w, lambda x: word_hash(x))).alias("min_word_hash"))
+
+
+def with_features(docs: DataFrame) -> DataFrame:
+    """docs + quality_score + lang_pred appended in ONE pass (no
+    self-joins): the enrich step of the composite training-data pipeline.
+    At corpus scale a join of quality(docs) back onto docs would rescan
+    and reshuffle the corpus; this is a pure projection — same arithmetic
+    as `quality` and `lang_id` (both oracle-verified), so the outputs are
+    bit-identical to theirs."""
+    w = words_col()
+    n_words = F.size(w)
+    stop_hits = marker_hits(w, STOPWORDS)
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_words
+    stop_ratio = stop_hits.cast("double") / n_words
+    qscore = F.round(distinct_ratio * 0.5 + stop_ratio * 0.3
+                     + F.least(n_words, F.lit(100)).cast("double") / 200, 6)
+    tmp = docs.select(
+        "*", qscore.alias("quality_score"),
+        *[marker_hits(w, LANG_MARKERS[lg]).alias(f"_s_{lg}")
+          for lg in LANG_ORDER])
+    best = F.greatest(*[F.col(f"_s_{lg}") for lg in LANG_ORDER])
+    chain = None
+    for lg in LANG_ORDER:
+        cond = F.col(f"_s_{lg}") == best
+        chain = (F.when(cond, F.lit(lg)) if chain is None
+                 else chain.when(cond, F.lit(lg)))
+    return (tmp.withColumn("lang_pred", chain)
+            .drop(*[f"_s_{lg}" for lg in LANG_ORDER]))

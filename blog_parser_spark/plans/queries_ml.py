@@ -334,3 +334,54 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.read_table(spark, sf_dir, "documents")
     return (sampling.sample_stratified_topn(docs, "lang", "doc_id", 10)
             .select("doc_id", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# the composite training-data pipeline — quality filter -> lang filter ->
+# exact dedup -> deterministic sample, chained end-to-end as ONE plan.
+# This is the shape a real corpus-curation job runs at 100 TB: a single
+# projection computes all per-doc features (no self-joins), the dedup is
+# one hash-shuffle, the sample is a pushable filter. Oracle reproduces
+# every stage in SQL.
+# ---------------------------------------------------------------------------
+
+_FEAT_SQL = f"""
+SELECT doc_id, text,
+  round(CAST(len(list_distinct({WORDS})) AS DOUBLE) / len({WORDS}) * 0.5
+      + CAST(len(list_filter({WORDS}, x -> list_contains(['the','a','of','to','and'], x))) AS DOUBLE)
+        / len({WORDS}) * 0.3
+      + CAST(least(len({WORDS}), 100) AS DOUBLE) / 200, 6) AS quality_score,
+  {", ".join(f"{_markers_sql(lg)} AS s_{lg}" for lg in textstats.LANG_ORDER)}
+FROM documents
+"""
+
+_PRED_CASE = " ".join(
+    f"WHEN s_{lg} = greatest(s_en, s_fr, s_de, s_es, s_zh) THEN '{lg}'"
+    for lg in textstats.LANG_ORDER)
+
+
+@register("training_data_pipeline", f"""
+WITH feat AS ({_FEAT_SQL}),
+lp AS (
+  SELECT doc_id, text, quality_score, CASE {_PRED_CASE} END AS lang_pred
+  FROM feat
+),
+keep AS (
+  SELECT * FROM lp WHERE quality_score >= 0.5 AND lang_pred = 'en'
+),
+dedup AS (
+  SELECT * FROM keep
+  WHERE doc_id IN (SELECT min(doc_id) FROM keep GROUP BY md5(text))
+)
+SELECT doc_id, lang_pred, quality_score FROM dedup
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000000 < 500000
+""")
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feat = textstats.with_features(docs)
+    keep = feat.filter((F.col("quality_score") >= 0.5)
+                       & (F.col("lang_pred") == "en"))
+    kept = dedup.exact_dedup(keep)
+    samp = sampling.sample_fraction(kept, "doc_id", 500_000)
+    return samp.select("doc_id", "lang_pred", "quality_score")
