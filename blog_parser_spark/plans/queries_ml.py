@@ -385,3 +385,39 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = dedup.exact_dedup(keep)
     samp = sampling.sample_fraction(kept, "doc_id", 500_000)
     return samp.select("doc_id", "lang_pred", "quality_score")
+
+
+@register("training_data_neardup_removal", f"""
+WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM corpus),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component
+         FROM reach GROUP BY node)
+SELECT doc_id FROM comp
+WHERE component = doc_id
+  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000000 < 800000
+""")
+def q_training_data_neardup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL (not just detection): LSH pairs -> connected
+    components -> keep only each cluster's min-id representative
+    (singletons keep themselves) -> deterministic 80% sample. The
+    curation semantic a 100 TB pipeline actually ships; every stage
+    oracle-reproduced (recursive-CTE transitive closure in DuckDB)."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dedup.near_dup_pairs_minhash(corpus, threshold=0.6)
+    comp = dedup.connected_components(corpus, pairs)
+    reps = comp.filter(F.col("component") == F.col("doc_id")).select("doc_id")
+    return sampling.sample_fraction(reps, "doc_id", 800_000)
