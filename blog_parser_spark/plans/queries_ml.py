@@ -421,3 +421,24 @@ def q_training_data_neardup_removal(spark: SparkSession, sf_dir: str) -> DataFra
     comp = dedup.connected_components(corpus, pairs)
     reps = comp.filter(F.col("component") == F.col("doc_id")).select("doc_id")
     return sampling.sample_fraction(reps, "doc_id", 800_000)
+
+
+@register("fn_binary", """
+SELECT doc_id,
+       to_base64(encode(substr(text, 1, 24))) AS b64_prefix,
+       hex(encode(substr(text, 1, 8))) AS hex_prefix,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_utf8,
+       md5(text) AS text_md5
+FROM documents
+""")
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column function family over text payloads (the html-column
+    ops a webtext pipeline runs): base64/hex encode, utf8 byte length,
+    md5 — all JVM expressions, cross-engine byte-identical."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 24).cast("binary")).alias("b64_prefix"),
+        F.hex(F.substring("text", 1, 8).cast("binary")).alias("hex_prefix"),
+        F.octet_length("text").cast("long").alias("n_bytes_utf8"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"))
