@@ -110,3 +110,18 @@ def test_dedup_embedding_cosine_finds_planted_pairs(spark):
     # exactly the 25 planted (original, +100000 copy) pairs, nothing else
     assert len(rows) == 25
     assert all(r.id_b == r.id_a + 100000 and r.cos >= 0.99 for r in rows)
+
+
+def test_training_pipeline_plan_shape(spark):
+    """The composite curation pipeline must stay a tight plan: feature
+    enrich is a pure projection (NO python stages, no self-join of the
+    corpus for features), dedup adds exactly one aggregate side (2 scans
+    total), and nothing plans as a nested loop or cartesian product."""
+    from blog_parser_spark.plans import queries_ml
+    df = queries_ml.q_training_data_pipeline(spark, SF_DIR)
+    plan = _plan(df)
+    # formatted plans list each scan twice (tree line + detail block)
+    scan_ids = set(__import__("re").findall(r"\(\d+\) Scan parquet", plan))
+    assert len(scan_ids) <= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
