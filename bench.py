@@ -141,6 +141,17 @@ def main() -> None:
      .write.mode("overwrite").format("noop").save())
     timings["dedup_minhash_100k"] = time.time() - t0
 
+    # curation throughput at 100k docs: single-pass feature enrich ->
+    # quality/lang filter -> exact dedup -> deterministic sample
+    from blog_parser_spark.operators import sampling, textstats
+    t0 = time.time()
+    feat = textstats.with_features(nd)
+    keep = feat.filter((F.col("quality_score") >= 0.5)
+                       & (F.col("lang_pred") == "en"))
+    (sampling.sample_fraction(dedup_ops.exact_dedup(keep), "doc_id", 500_000)
+     .write.mode("overwrite").format("noop").save())
+    timings["curation_100k"] = time.time() - t0
+
     flagship = timings["flagship_e2e"]
     print(json.dumps({
         "metric": "flagship parse→enrich→route→aggregate wall-clock",
