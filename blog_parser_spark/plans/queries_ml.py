@@ -442,3 +442,24 @@ def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.substring("text", 1, 8).cast("binary")).alias("hex_prefix"),
         F.octet_length("text").cast("long").alias("n_bytes_utf8"),
         F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
+@register("fn_variant", """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50
+            THEN 'hi' ELSE 'lo' END AS k_band
+FROM events
+""")
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured log fields: parse_json
+    once into a variant, then typed variant_get extraction — the
+    schema-on-read shape for log props whose keys drift over time
+    (from_json needs a declared schema; variant does not). Oracle is the
+    equivalent JSON extraction."""
+    ev = io.read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id", k.alias("k"),
+        F.when(k >= 50, "hi").otherwise("lo").alias("k_band"))
