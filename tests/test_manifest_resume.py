@@ -85,3 +85,25 @@ def test_resume_scan_partition_prunes_completed_buckets(spark, pages, tmp_path):
     # post-scan Filter node
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "bucket" in pf
+
+
+def test_job_entrypoint_streaming_mode(spark, tmp_path):
+    """job.py --mode streaming end-to-end in a fresh spark-submit-shaped
+    process: availableNow run terminates, sinks land, exit code 0. (The
+    batch mode is covered by tools/submit_smoke.py.)"""
+    import json, os, subprocess, sys
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    io.synth_pages(spark, SF_DIR).coalesce(2).write.mode("overwrite").parquet(src)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, "job.py", "--pages", src, "--out", out,
+         "--mode", "streaming"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["mode"] == "streaming"
+    sinks = spark.read.option("basePath", f"{out}/sinks").parquet(f"{out}/sinks")
+    assert sinks.count() == io.synth_pages(spark, SF_DIR).select("url").distinct().count()
+    assert os.path.isdir(f"{out}/checkpoint")
