@@ -41,7 +41,17 @@ def range_join_binned(a: DataFrame, b: DataFrame, a_start: str, b_ts: str,
     With floor, a window [s, s+W) of width W == bin width spans at most
     2 bins, so each anchor row is duplicated into exactly those 2.
 
-    `a_start`/`b_ts` are epoch-seconds (long/double) columns."""
+    `a_start`/`b_ts` are epoch-seconds (long/double) columns.
+
+    Inner join only: the bin-explode duplicates each left row into its 2
+    candidate bins and the exact predicate is re-applied AFTER the join,
+    so outer semantics would be wrong twice over (unmatched rows are
+    dropped by the NULL-valued post-filter, matched rows would carry a
+    spurious null-partner duplicate from their other bin)."""
+    if how != "inner":
+        raise ValueError(
+            f"range_join_binned supports how='inner' only, got {how!r}; "
+            "outer range joins need the unbinned formulation")
     bin_sec = int(window_sec)
     if bin_sec < 1:
         raise ValueError(f"window_sec must be >= 1, got {window_sec}")

@@ -2,11 +2,12 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark side (schema, partitioning, batch shape, UDF signatures) is real
-and tested; the codec step is STUBBED — this container has no image/audio
-libraries, so `decode_real` raises NotImplementedError and the pipeline
-uses the deterministic fake codec (payloads carry their own generator
-formula). Swap `_FAKE_CODEC` for a PIL/libav call on a real cluster; the
-DataFrame plumbing does not change.
+and tested; the codec step degrades gracefully — `decode_real` decodes
+via PIL/soundfile/av when the library is importable (a real cluster gets
+the codec for free) and raises NotImplementedError in codec-less
+environments like this container, where the pipeline uses the
+deterministic fake codec (payloads carry their own generator formula).
+The DataFrame plumbing is identical either way.
 """
 
 from __future__ import annotations

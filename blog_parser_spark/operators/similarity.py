@@ -152,7 +152,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     the lists are a bucketed layout: write the assignment once
     (partitionBy centroid_id), and every query batch prunes to its probed
     partitions."""
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    # centroids are K driver-sized rows by construction — materialize ONCE
+    # and rebuild as a local frame, otherwise the full-corpus TakeOrdered
+    # subplan re-executes in both the assignment branch and the query-
+    # probe branch of the same job (uncached plan reuse is re-execution)
+    cents_df = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(cents_df.collect(), cents_df.schema)
     lists = ivf_assign(corpus, cents, id_col, vec_col)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))

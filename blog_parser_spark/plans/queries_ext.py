@@ -108,7 +108,11 @@ def q_set_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = docs.select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
         F.size(F.split("text", " ")).cast("long").alias("n_words"))
+    # Spark's unpivot RETAINS null values; SQL UNPIVOT excludes them by
+    # default — filter nulls so both sides agree even if a value column
+    # is ever null (fixtures are non-null today; don't rely on that)
     return (wide.unpivot("doc_id", ["n_chars", "n_words"], "metric", "val")
+            .filter(F.col("val").isNotNull())
             .select("doc_id", "metric", F.col("val").cast("long").alias("val")))
 
 

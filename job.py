@@ -35,8 +35,12 @@ def main() -> None:
     spark = get_spark("blog-parser-pipeline")
     # reliable checkpoint dir under the job's own output root: iterative
     # operators (connected_components) and any df.checkpoint() users get
-    # executor-loss-safe lineage cuts on a cluster without extra config
-    spark.sparkContext.setCheckpointDir(f"{args.out}/_checkpoints")
+    # executor-loss-safe lineage cuts on a cluster without extra config.
+    # Checkpoints are intra-run scratch (cross-run resume durability comes
+    # from the manifest), so the dir is removed after a successful run —
+    # otherwise every invocation leaves its full label-frame history behind.
+    ckpt_root = f"{args.out}/_checkpoints"
+    spark.sparkContext.setCheckpointDir(ckpt_root)
 
     if args.mode == "streaming":
         from blog_parser_spark.streaming import stream
@@ -55,6 +59,8 @@ def main() -> None:
             pipeline.routed_pages(spark, pages, dedup=True))
          .repartition(1).write.mode("overwrite").parquet(args.agg_out))
 
+    import shutil
+    shutil.rmtree(ckpt_root, ignore_errors=True)
     print(json.dumps(stats))
 
 

@@ -101,16 +101,20 @@ def test_approx_distinct_within_error_bound(spark):
 
 
 def test_approx_percentile_within_rank_error_bound(spark):
-    """percentile_approx(accuracy=A) guarantees rank error <= n/A; with
-    A=10000 >= n the sketch is rank-exact, so its output must land within
-    one data point of the continuous-interpolation exact percentile."""
+    """percentile_approx(accuracy=A) guarantees rank error <= n/A. Assert
+    the sketch's p50 lands within that RANK window of the sorted data —
+    valid at any fixture scale, not just when A >= n."""
+    import math
+    A = 10000
     o = io.read_table(spark, SF_DIR, "orders")
-    row = o.agg(
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap"),
-        F.percentile("o_totalprice", F.lit(0.5)).alias("ex")).collect()[0]
+    ap = o.agg(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(A))
+               .alias("ap")).collect()[0]["ap"]
     vals = sorted(r[0] for r in o.select("o_totalprice").collect())
-    neighbor_gap = max(b - a for a, b in zip(vals, vals[1:]))
-    assert abs(row["ap"] - row["ex"]) <= neighbor_gap
+    n = len(vals)
+    k = (n - 1) // 2                      # median rank (lower)
+    w = math.ceil(n / A) + 1              # guaranteed rank error + slack
+    lo, hi = vals[max(0, k - w)], vals[min(n - 1, k + 1 + w)]
+    assert lo <= ap <= hi
 
 
 def test_compaction_recovers_from_simulated_crashes(spark, tmp_path):

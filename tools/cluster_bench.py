@@ -102,9 +102,13 @@ def run_leg(corpus: str, n_workers: int, executor_cores: int,
                        "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
              "tools/cluster_run.py", corpus, str(n_runs)],
             capture_output=True, text=True, timeout=1200)
-        line = [ln for ln in out.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        leg = json.loads(line)
+        json_lines = [ln for ln in out.stdout.strip().splitlines()
+                      if ln.startswith("{")]
+        if out.returncode != 0 or not json_lines:
+            raise RuntimeError(
+                f"spark-submit leg failed (rc={out.returncode}); "
+                f"stderr tail:\n{out.stderr[-3000:]}")
+        leg = json.loads(json_lines[-1])
         leg["workers"] = n_workers
         return leg
     finally:

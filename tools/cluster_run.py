@@ -6,7 +6,7 @@ execution shape), one fresh driver per leg.
 
     spark-submit --master spark://127.0.0.1:7077 \
         --py-files dist/blog_parser_spark.zip \
-        tools/cluster_run.py <corpus> <executor_cores> <n_runs>
+        tools/cluster_run.py <corpus> <n_runs>
 """
 
 from __future__ import annotations
