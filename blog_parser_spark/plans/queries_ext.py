@@ -410,3 +410,71 @@ def _register_flagship_sql():
 
 
 _register_flagship_sql()
+
+
+@register("agg_histogram", """
+SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS INT) AS bucket,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+""")
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning — one map-side-combined shuffle of
+    (bucket, partial count); bucket edges at k*60000 divide the 2-decimal
+    prices exactly, so floor is engine-independent."""
+    o = io.read_table(spark, sf_dir, "orders")
+    b = F.least(F.floor(F.col("o_totalprice") / 60000.0), F.lit(9)).cast("int")
+    return (o.groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("sql_exists_subquery", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""")
+def q_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL surface: Catalyst's
+    RewritePredicateSubquery turns it into the same left-semi join the
+    DataFrame API's join_semi uses — this entry pins the SQL path."""
+    io.read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    io.read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql("""
+        SELECT c_custkey, c_name FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)""")
+
+
+@register("win_gapfill", """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                  date_trunc('hour', max(ts)) AS hi FROM events),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT s.hour, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS events
+FROM spine s CROSS JOIN types t
+LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+""")
+def q_win_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry gap-fill: a complete hourly spine per series, zero-filled
+    where no events landed — downstream rate/alerting math needs dense
+    series. The spine is generated (F.sequence + explode, no data
+    shuffle), the grid is spine x distinct-types (both tiny), and the
+    only corpus-sized op is the hourly pre-aggregate the left join
+    receives — grid joins aggregated counts, never raw events."""
+    ev = io.read_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("HOUR", F.min("ts")).alias("lo"),
+                    F.date_trunc("HOUR", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    types = ev.select("event_type").distinct()
+    counts = (ev.groupBy(F.date_trunc("HOUR", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (spine.crossJoin(types)
+            .join(counts, ["hour", "event_type"], "left")
+            .select("hour", "event_type",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("events")))
