@@ -56,9 +56,11 @@ def main() -> int:
 
     qs, osql = e.queries(), e.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -99,7 +101,8 @@ def main() -> int:
         else:
             print(f"PASS  {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures or 'none'}")
+    print(f"\n{n_run - len(failures)}/{n_run} ok "
+          f"({len(qs)} registered); failures: {failures or 'none'}")
     return 1 if failures else 0
 
 
