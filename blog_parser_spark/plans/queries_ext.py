@@ -474,7 +474,10 @@ def q_win_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (ev.groupBy(F.date_trunc("HOUR", "ts").alias("hour"),
                          "event_type")
               .agg(F.count(F.lit(1)).alias("n")))
-    return (spine.crossJoin(types)
-            .join(counts, ["hour", "event_type"], "left")
+    # every frame here is bounded by time-span x series count, never by
+    # corpus size — broadcast explicitly so the planner never falls back
+    # to a partitioned CartesianProduct for the tiny grid
+    return (spine.crossJoin(F.broadcast(types))
+            .join(F.broadcast(counts), ["hour", "event_type"], "left")
             .select("hour", "event_type",
                     F.coalesce("n", F.lit(0)).cast("long").alias("events")))
