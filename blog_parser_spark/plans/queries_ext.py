@@ -481,3 +481,26 @@ def q_win_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(counts), ["hour", "event_type"], "left")
             .select("hour", "event_type",
                     F.coalesce("n", F.lit(0)).cast("long").alias("events")))
+
+
+@register("agg_bitmap_distinct", """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+""")
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via storable/mergeable bitmaps — the
+    exact-count analog of agg_hll_union's sketch rollup: per-(group,
+    bucket) bitmaps (bitmap_construct_agg of bit positions) OR-merge
+    across groups, and the global distinct is the sum of per-bucket
+    bitmap_count. Each daily partition can persist its bitmaps and any
+    date-range distinct is a cheap bitmap_or_agg — no raw-data rescan,
+    and unlike HLL the answer is exact, so the oracle checks the value
+    itself (COUNT(DISTINCT))."""
+    ev = io.read_table(spark, sf_dir, "events")
+    per = (ev.groupBy("event_type",
+                      F.bitmap_bucket_number("user_id").alias("bkt"))
+           .agg(F.bitmap_construct_agg(
+               F.bitmap_bit_position("user_id")).alias("bm")))
+    merged = per.groupBy("bkt").agg(F.bitmap_or_agg("bm").alias("bm"))
+    return merged.agg(F.sum(F.bitmap_count("bm")).cast("long")
+                      .alias("distinct_users"))
