@@ -209,27 +209,31 @@ def q_win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("project_basic", """
 SELECT l_orderkey, l_linenumber,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-            AS DECIMAL(18,4)) AS net_price,
+            AS DECIMAL(18,4)) AS DOUBLE) AS net_price,
        upper(l_returnflag) AS flag
 FROM lineitem
 """)
 def q_project_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact decimal arithmetic end-to-end: the inputs are cast to
-    DECIMAL(18,4) BEFORE the multiply (fixture prices/discounts carry at
-    most 2 decimal digits, so the double->decimal input cast is
-    unambiguous in any engine), then the product — exact in decimal — is
-    rounded once. Casting the double product instead puts the rounding
-    boundary at a half-ULP the engines resolve differently
-    (CORRECTNESS_r01 hash mismatch)."""
+    """Exact decimal arithmetic internally, DOUBLE on the wire: inputs are
+    cast to DECIMAL(18,4) BEFORE the multiply (fixture prices/discounts
+    carry at most 2 decimal digits, so the double->decimal input cast is
+    unambiguous in any engine), the product — exact in decimal — is
+    rounded once, then the OUTPUT column is cast back to DOUBLE. The
+    decimal value is exact at 4 digits with scaled magnitude << 2^53, so
+    decimal->double is the correctly-rounded nearest double in both
+    engines; emitting DECIMAL instead trips harness-side canonicalization
+    of decimal output columns (CORRECTNESS_r02: values bit-identical
+    locally, driver hash mismatch). Repo convention: DECIMAL is for
+    internal partials only, never an output column."""
     li = io.read_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     return li.select(
         "l_orderkey", "l_linenumber",
         (price * (F.lit(1).cast("decimal(18,4)") - disc))
-        .cast("decimal(18,4)").alias("net_price"),
+        .cast("decimal(18,4)").cast("double").alias("net_price"),
         F.upper("l_returnflag").alias("flag"))
 
 
