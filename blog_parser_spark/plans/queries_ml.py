@@ -387,19 +387,76 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samp.select("doc_id", "lang_pred", "quality_score")
 
 
+# Removal-query corpus: the near-dup corpus PLUS a planted boilerplate
+# cluster (80 template-page variants of doc 0 — same body, one distinct
+# trailing token each). The variants are near-identical, so they flood
+# the LSH band buckets past the hot-bucket cap; both engines must
+# reproduce the cap's recall trade identically for the oracle to match.
+_REMOVAL_CORPUS_SQL = _NEAR_CORPUS_SQL + """
+UNION ALL
+SELECT 2000000 + i AS doc_id,
+       (SELECT text FROM documents WHERE doc_id = 0) || ' qq' || CAST(i AS VARCHAR) AS text
+FROM (SELECT unnest(range(80)) AS i)
+"""
+
+_NEARDUP_CAP = 64
+_P = dedup.MINHASH_P
+
+
+def _removal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc0 = docs.filter("doc_id = 0").select(F.col("text").alias("_t0"))
+    boiler = (spark.range(80).crossJoin(F.broadcast(doc0))
+              .select((F.col("id") + 2000000).alias("doc_id"),
+                      F.concat("_t0", F.lit(" qq"),
+                               F.col("id").cast("string")).alias("text")))
+    return _near_corpus(spark, sf_dir).unionByName(boiler)
+
+
 @register("training_data_neardup_removal", f"""
-WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM corpus),
+WITH RECURSIVE corpus AS ({_REMOVAL_CORPUS_SQL}),
+kept0 AS (
+  SELECT * FROM corpus
+  WHERE doc_id IN (SELECT min(doc_id) FROM corpus GROUP BY md5(text))
+),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM kept0),
+h0 AS (SELECT doc_id,
+              list_transform(s, w -> {WORD_HASH.format(w='w')} % {_P}) AS hs
+       FROM sh),
+perms AS (SELECT unnest(range(1, {dedup.N_PERM + 1})) AS j),
+sigrows AS (
+  SELECT h0.doc_id, p.j,
+    list_aggregate(list_transform(hs,
+      h -> (((p.j * 2654435761 + 1) % {_P}) * h
+            + ((p.j * 40503 + 12345) % {_P})) % {_P}), 'min') AS sig
+  FROM h0, perms p
+),
+banded AS (
+  SELECT doc_id, j - 1 AS band, md5(CAST(sig AS VARCHAR)) AS band_key
+  FROM sigrows WHERE sig IS NOT NULL
+),
+counted AS (
+  SELECT doc_id, band, band_key,
+         count(*) OVER (PARTITION BY band, band_key) AS bsz
+  FROM banded
+),
+kept AS (SELECT doc_id, band, band_key FROM counted WHERE bsz <= {_NEARDUP_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.6
 ),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
 reach(node, label) AS (
-  SELECT doc_id, doc_id FROM corpus
+  SELECT doc_id, doc_id FROM kept0
   UNION
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
 ),
@@ -411,14 +468,22 @@ WHERE component = doc_id
       % 1000000 < 800000
 """)
 def q_training_data_neardup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup REMOVAL (not just detection): LSH pairs -> connected
-    components -> keep only each cluster's min-id representative
-    (singletons keep themselves) -> deterministic 80% sample. The
-    curation semantic a 100 TB pipeline actually ships; every stage
-    oracle-reproduced (recursive-CTE transitive closure in DuckDB)."""
-    corpus = _near_corpus(spark, sf_dir)
-    pairs = dedup.near_dup_pairs_minhash(corpus, threshold=0.6)
-    comp = dedup.connected_components(corpus, pairs)
+    """Near-dup REMOVAL (not just detection), in the skew-safe production
+    shape: exact dedup FIRST (so identical docs never flood a bucket) ->
+    MinHash-LSH with the hot-bucket cap LIVE (max_bucket_size=64) ->
+    connected components -> keep each cluster's min-id representative
+    (singletons keep themselves) -> deterministic 80% sample. The corpus
+    plants an 80-variant boilerplate cluster so the cap actually bites;
+    the oracle reproduces the ENTIRE capped-LSH mechanism in SQL
+    (minhash signatures -> band keys -> windowed bucket counts -> cap
+    filter -> candidate join -> exact-Jaccard verify -> recursive-CTE
+    components), so the cap's recall trade is cross-engine checked, not
+    assumed away."""
+    corpus = _removal_corpus(spark, sf_dir)
+    kept = dedup.exact_dedup(corpus)
+    pairs = dedup.near_dup_pairs_minhash(kept, threshold=0.6,
+                                         max_bucket_size=_NEARDUP_CAP)
+    comp = dedup.connected_components(kept, pairs)
     reps = comp.filter(F.col("component") == F.col("doc_id")).select("doc_id")
     return sampling.sample_fraction(reps, "doc_id", 800_000)
 

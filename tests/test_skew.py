@@ -59,6 +59,37 @@ def test_salted_join_exact_on_skew(spark, pages_skewed):
     assert aggregate.multiset_equal(plain, salted)
 
 
+def test_lsh_hot_bucket_cap_bounds_candidate_volume(spark):
+    """The 100 TB skew guard: one boilerplate text x 300 copies turns the
+    LSH band self-join quadratic (identical docs share every band ->
+    every bucket holds all 300 -> C(300,2) candidate pairs per band).
+    With max_bucket_size=64 the hot buckets are dropped BEFORE the join,
+    so candidate volume stays bounded; the distinct docs are unaffected."""
+    from blog_parser_spark.operators import dedup
+
+    boiler = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog "
+              "again and again and again").alias("text"))
+    # fully disjoint vocabularies so the only possible collisions are
+    # genuine hash accidents, not shared template words
+    distinct = spark.range(20).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit(f"tok{k}x"), (F.col("id") * 97 + k).cast("string"))
+            for k in range(8)]).alias("text"))
+    sig = dedup.minhash_signature(boiler.unionByName(distinct))
+
+    uncapped = dedup.lsh_candidate_pairs(sig).count()
+    assert uncapped >= 300 * 299 // 2  # quadratic blow-up is real
+
+    capped = dedup.lsh_candidate_pairs(sig, max_bucket_size=64)
+    # every boilerplate bucket has 300 members -> all dropped; no pair may
+    # join two boilerplate docs, and total volume collapses
+    assert capped.filter("id_a < 300 AND id_b < 300").count() == 0
+    assert capped.count() <= 20
+
+
 def test_range_join_binned_equals_bruteforce_incl_pre1970(spark):
     """The binned range join must equal the brute-force nested-loop on
     epochs spanning 1970 — negative epochs are where cast-truncation
