@@ -210,12 +210,30 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     q = emb.filter("vec_id < 5")
     bf = {(r["query_id"], r["cand_id"]) for r in
           similarity.brute_force_topk(emb, q, k=5).collect()}
+    seeds = {(r["query_id"], r["cand_id"]) for r in
+             similarity.ivf_topk(emb, q, k=5, refine_iters=0).collect()}
     ivf = {(r["query_id"], r["cand_id"]) for r in
            similarity.ivf_topk(emb, q, k=5).collect()}
     # probing 4/16 lists scans ~25% of the corpus; clustered neighbors
-    # concentrate in probed lists so recall beats the scan fraction
-    assert len(ivf & bf) / len(bf) >= 0.3
+    # concentrate in probed lists so recall beats the scan fraction, and
+    # the default Lloyd-refined centroids beat the raw hash-picked seeds
+    # (0.56 vs 0.48 on this fixture — deterministic, so pinnable)
+    assert len(seeds & bf) / len(bf) >= 0.3
+    assert len(ivf & bf) / len(bf) >= 0.5
+    assert len(ivf & bf) >= len(seeds & bf)
     assert all(a != b for a, b in ivf)
+
+
+def test_ann_ivf_lloyd_refinement_is_deterministic(spark):
+    """Refined centroids must be a pure function of the data: decimal
+    partial sums make the per-dimension means independent of partition
+    order, so two runs (different partitionings) agree exactly."""
+    from blog_parser_spark.sources import io
+    emb = io.read_table(spark, SF_DIR, "embeddings")
+    a = sorted(map(tuple, similarity.ivf_centroids_refined(emb).collect()))
+    b = sorted(map(tuple, similarity.ivf_centroids_refined(
+        emb.repartition(13)).collect()))
+    assert a == b
 
 
 def test_hash_sampling_nests_and_is_deterministic(spark):
