@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import joins
+from ..operators import aggregate, joins
 from ..sources import io
 from .registry import register
 
@@ -497,10 +497,28 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and unlike HLL the answer is exact, so the oracle checks the value
     itself (COUNT(DISTINCT))."""
     ev = io.read_table(spark, sf_dir, "events")
-    per = (ev.groupBy("event_type",
-                      F.bitmap_bucket_number("user_id").alias("bkt"))
-           .agg(F.bitmap_construct_agg(
-               F.bitmap_bit_position("user_id")).alias("bm")))
+    per = aggregate.bitmap_build(ev, ["event_type"], "user_id")
     merged = per.groupBy("bkt").agg(F.bitmap_or_agg("bm").alias("bm"))
     return merged.agg(F.sum(F.bitmap_count("bm")).cast("long")
                       .alias("distinct_users"))
+
+
+@register("agg_bitmap_rollup", """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type
+""")
+def q_agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental exact-distinct story end-to-end: build
+    per-(event_type, day) bitmaps — the granularity a daily job would
+    PERSIST — then OR-merge across the day axis to answer per-event_type
+    all-time distinct users exactly. The merge reads #groups x #buckets
+    bitmap rows, never the raw events; oracle = grouped COUNT(DISTINCT).
+    The persisted-parquet round-trip (write daily bitmaps, date-range
+    merge with partition pruning) is exercised in tests/test_sinks.py."""
+    ev = (io.read_table(spark, sf_dir, "events")
+          .withColumn("day", F.date_format(
+              F.col("ts").cast("timestamp"), "yyyy-MM-dd")))
+    daily = aggregate.bitmap_build(ev, ["event_type", "day"], "user_id")
+    return (aggregate.bitmap_merge_count(daily, ["event_type"])
+            .select("event_type",
+                    F.col("distinct_count").alias("distinct_users")))
