@@ -153,6 +153,130 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
                                     GroupStateTimeout.NoTimeout))
 
 
+def user_activity_profile_legacy(events: DataFrame) -> DataFrame:
+    """The user_activity_profile semantics on applyInPandasWithState (the
+    API that runs in this sandbox): per-user running (event count, exact
+    basis-point value total, distinct event_type count). State is ONE
+    tuple (events, value_bp, seen_types array) — and that is the
+    documented limitation this op exists to illustrate against
+    transformWithState: adding a field to this tuple on restart fails
+    the state-schema compatibility check, whereas transformWithState
+    evolves by registering a new named variable. Kill/resume across >=3
+    micro-batches is asserted in tests/test_streaming.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, events long, value_bp long, n_types long"
+    state_schema = "events long, value_bp long, seen_types array<string>"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            ev_n, value_bp, seen_list = state.get
+            seen = set(seen_list)
+        else:
+            ev_n, value_bp, seen = 0, 0, set()
+        for pdf in pdfs:
+            ev_n += len(pdf)
+            bp = pdf["value"].fillna(0.0).to_numpy() * 10_000
+            value_bp += int((np.sign(bp) * np.floor(np.abs(bp) + 0.5))
+                            .astype("int64").sum())
+            seen.update(pdf["event_type"].dropna().unique().tolist())
+        state.update((ev_n, value_bp, sorted(seen)))
+        yield pd.DataFrame({"user_id": [key[0]], "events": [ev_n],
+                            "value_bp": [value_bp], "n_types": [len(seen)]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def user_activity_profile(events: DataFrame,
+                          with_last_event: bool = False) -> DataFrame:
+    """Second custom stateful operator, on the Spark 4 transformWithState
+    API (requires the RocksDB state store provider): per-user running
+    profile combining TWO typed state variables — a ValueState holding
+    (event count, exact basis-point value total) and a MapState of
+    per-event_type counts whose key count gives the running distinct-type
+    cardinality. transformWithState supersedes applyInPandasWithState:
+    state is a set of independently-schema'd named variables instead of
+    one opaque tuple, which is what makes STATE-SCHEMA EVOLUTION
+    practical — restarting from the same checkpoint with
+    `with_last_event=True` registers an additional ValueState
+    ("last_event_id") in init(); pre-existing variables keep their data
+    across the restart (kill/resume + evolution asserted in
+    tests/test_streaming.py).
+
+    Exactness: the value total accumulates in integer basis points with
+    half-away-from-zero rounding (matches F.round), so the final state
+    per user equals the batch aggregate bit-for-bit regardless of
+    micro-batch boundaries.
+
+    Sandbox gap (same class as Iceberg jar / media codecs): executing
+    transformWithStateInPandas needs `google.protobuf` (the TWS Python
+    state-server protocol), which this container lacks — the operator
+    and its kill/resume/evolution test are written and gated on a
+    protobuf probe (tests skip with the recorded reason until the dep
+    appears); `user_activity_profile_legacy` runs the same semantics on
+    applyInPandasWithState today."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    out_cols = "user_id long, events long, value_bp long, n_types long"
+    if with_last_event:
+        out_cols += ", last_event_id long"
+
+    class Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState(
+                "totals", "events long, value_bp long")
+            self.type_counts = handle.getMapState(
+                "type_counts", "event_type string", "n long")
+            if with_last_event:
+                # schema evolution: a NEW state variable added on restart;
+                # existing variables above are untouched
+                self.last_event = handle.getValueState(
+                    "last_event_id", "event_id long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            ev_n, value_bp = self.totals.get() or (0, 0)
+            last_id = None
+            for pdf in rows:
+                ev_n += len(pdf)
+                bp = pdf["value"].fillna(0.0).to_numpy() * 10_000
+                value_bp += int((np.sign(bp) * np.floor(np.abs(bp) + 0.5))
+                                .astype("int64").sum())
+                for et, n in pdf.groupby("event_type").size().items():
+                    prev = self.type_counts.getValue((et,))
+                    self.type_counts.updateValue(
+                        (et,), ((prev[0] if prev else 0) + int(n),))
+                if with_last_event:
+                    m = int(pdf["event_id"].max())
+                    last_id = m if last_id is None else max(last_id, m)
+            self.totals.update((ev_n, value_bp))
+            row = {"user_id": [key[0]], "events": [ev_n],
+                   "value_bp": [value_bp],
+                   "n_types": [sum(1 for _ in self.type_counts.keys())]}
+            if with_last_event:
+                prev = self.last_event.get()
+                best = max([v for v in (prev[0] if prev else None, last_id)
+                            if v is not None])
+                self.last_event.update((best,))
+                row["last_event_id"] = [best]
+            yield pd.DataFrame(row)
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=Profile(),
+                outputStructType=out_cols,
+                outputMode="Update", timeMode="None"))
+
+
 # --- the streaming flagship ---------------------------------------------------
 
 def start_pipeline(spark: SparkSession, pages_stream: DataFrame, out_dir: str,

@@ -120,6 +120,164 @@ def test_stateful_user_totals_matches_batch(spark, tmp_path):
     assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas runs a Python state-server driver that
+    imports google.protobuf; absent in this sandbox (gap watch: probe
+    each round, same as the Iceberg jar / media codecs)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _seed_event_files(spark, base: str, n: int = 4) -> list[str]:
+    import os
+    ev = io.read_table(spark, SF_DIR, "events")
+    for part in range(n):
+        (ev.filter(F.col("event_id") % n == part).coalesce(1)
+         .write.mode("append" if part else "overwrite").parquet(base))
+    files = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+    assert len(files) == n
+    return files
+
+
+_EV_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def test_stateful_profile_kill_resume_across_microbatches(spark, tmp_path):
+    """The second stateful op (per-user profile: count + exact bp total +
+    distinct event types) across 4 one-file micro-batches with a
+    kill/resume in the middle: run 1 sees two files and terminates; two
+    more files arrive; run 2 resumes from the SAME checkpoint. Final
+    per-user state must equal the batch aggregate over ALL events exactly
+    — possible only if run-1 state survived the restart."""
+    import os
+    import shutil
+    src = str(tmp_path / "ev")
+    files = _seed_event_files(spark, src)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "profiles")
+
+    def run() -> int:
+        stream_ev = (spark.readStream.schema(_EV_SCHEMA)
+                     .option("maxFilesPerTrigger", 1).parquet(live))
+        seen = []
+
+        def write_batch(df, bid):  # memory sink can't recover; files can
+            seen.append(bid)
+            df.write.mode("append").parquet(out)
+
+        q = (stream.user_activity_profile_legacy(stream_ev)
+             .writeStream.outputMode("update").foreachBatch(write_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _await(q)
+        return len(seen)
+
+    for f in files[:2]:
+        shutil.copy(os.path.join(src, f), os.path.join(live, f))
+    n1 = run()
+    for f in files[2:]:
+        shutil.copy(os.path.join(src, f), os.path.join(live, f))
+    n2 = run()
+    assert n1 >= 2 and n2 >= 2  # >=4 one-file micro-batches total
+
+    spark.read.parquet(out).createOrReplaceTempView("profile_updates")
+    final = spark.sql("""
+        SELECT user_id, max(events) AS events,
+               max_by(value_bp, events) AS value_bp,
+               max_by(n_types, events) AS n_types
+        FROM profile_updates
+        GROUP BY user_id""")
+    exp = (spark.read.parquet(live).groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("events"),
+                F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0))
+                              * 10_000).cast("long")).alias("value_bp"),
+                F.countDistinct("event_type").alias("n_types")))
+    assert final.exceptAll(exp).isEmpty() and exp.exceptAll(final).isEmpty()
+
+
+@pytest.mark.skipif(not _has_protobuf(),
+                    reason="transformWithStateInPandas needs google.protobuf"
+                           " (absent in sandbox; probed each round)")
+def test_transform_with_state_resume_and_schema_evolution(spark, tmp_path):
+    """transformWithStateInPandas (RocksDB state store) across >=3
+    micro-batches with a kill/resume AND state-schema evolution on
+    restart: run 2 resumes from the same checkpoint with a processor
+    that registers an ADDITIONAL state variable in init(). The final
+    per-user profile equals the batch aggregate over ALL events exactly —
+    which can only happen if run-1 state survived both the restart and
+    the evolution."""
+    import os
+    import shutil
+    src = str(tmp_path / "ev")
+    files = _seed_event_files(spark, src)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        out1, out2 = str(tmp_path / "tws1"), str(tmp_path / "tws2")
+
+        def run(with_last_event: bool, out: str) -> None:
+            stream_ev = (spark.readStream.schema(_EV_SCHEMA)
+                         .option("maxFilesPerTrigger", 1).parquet(live))
+            prof = stream.user_activity_profile(
+                stream_ev, with_last_event=with_last_event)
+
+            def write_batch(df, bid):
+                df.write.mode("append").parquet(out)
+
+            q = (prof.writeStream.outputMode("update")
+                 .foreachBatch(write_batch)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            _await(q)
+
+        for f in files[:2]:
+            shutil.copy(os.path.join(src, f), os.path.join(live, f))
+        run(with_last_event=False, out=out1)
+        for f in files[2:]:
+            shutil.copy(os.path.join(src, f), os.path.join(live, f))
+        run(with_last_event=True, out=out2)
+
+        spark.read.parquet(out1).createOrReplaceTempView("tws_run1")
+        spark.read.parquet(out2).createOrReplaceTempView("tws_run2")
+        final = spark.sql("""
+            SELECT user_id, max(events) AS events,
+                   max_by(value_bp, events) AS value_bp,
+                   max_by(n_types, events) AS n_types
+            FROM (SELECT * FROM tws_run1 UNION ALL
+                  SELECT user_id, events, value_bp, n_types
+                  FROM tws_run2)
+            GROUP BY user_id""")
+        exp = (spark.read.parquet(live).groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("events"),
+                    F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0))
+                                  * 10_000).cast("long")).alias("value_bp"),
+                    F.countDistinct("event_type").alias("n_types")))
+        assert final.exceptAll(exp).isEmpty() and exp.exceptAll(final).isEmpty()
+        # the evolved variable is populated for users seen after resume
+        assert (spark.sql("SELECT count(*) FROM tws_run2 "
+                          "WHERE last_event_id IS NULL").collect()[0][0] == 0)
+        assert spark.sql("SELECT count(*) FROM tws_run2").collect()[0][0] > 0
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider)
+
+
 def test_streaming_dedup_urls(spark, tmp_path):
     src = str(tmp_path / "dup")
     pages = io.adversarial_pages_df(spark)
