@@ -102,6 +102,62 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.array_min(F.transform(w, lambda x: word_hash(x))).alias("min_word_hash"))
 
 
+# Gopher/C4-style repetition signals: heavily repeated n-grams mark
+# boilerplate / spam / low-quality machine text. The per-gram count is an
+# explode + groupBy — the shuffle carries gram rows, which map-side
+# combine collapses per (doc, gram) before the exchange.
+def repetition(docs: DataFrame) -> DataFrame:
+    """Per doc: total word 2-grams, the top 2-gram's count, its fraction
+    of all 2-grams, and the duplicate-word ratio (1 - distinct/total).
+    Docs with < 2 words have no grams and drop out (both engines)."""
+    w = words_col()
+    n = F.size(w)
+    grams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+    )).otherwise(F.array())
+    exploded = docs.select(
+        "doc_id", n.alias("_n_words"),
+        F.size(F.array_distinct(w)).alias("_n_distinct"),
+        F.explode(grams).alias("gram"))
+    per_gram = (exploded
+                .groupBy("doc_id", "_n_words", "_n_distinct", "gram")
+                .agg(F.count(F.lit(1)).alias("_cnt")))
+    return (per_gram
+            .groupBy("doc_id", "_n_words", "_n_distinct")
+            .agg(F.sum("_cnt").alias("n_grams"),
+                 F.max("_cnt").alias("max_gram_count"))
+            .select("doc_id", "n_grams", "max_gram_count",
+                    F.round(F.col("max_gram_count").cast("double")
+                            / F.col("n_grams"), 6).alias("top_gram_frac"),
+                    F.round(F.lit(1.0)
+                            - F.col("_n_distinct").cast("double")
+                            / F.col("_n_words"), 6).alias("dup_word_ratio")))
+
+
+# PII scrubbing: the redaction pass a webtext corpus runs before export.
+# Patterns are deliberately RE2-safe (no backrefs/lookaround) so Spark's
+# Java regex and the DuckDB oracle's RE2 match identical spans.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+NUMBER_RE = "[0-9]+"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Replace emails then remaining digit runs with placeholder tokens;
+    emails first so their digits aren't double-counted. Pure JVM regex
+    projection — no shuffle, pushes through any downstream plan."""
+    no_email = F.regexp_replace("text", EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(no_email, NUMBER_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(NUMBER_RE), 0))
+        .cast("long").alias("n_numbers"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"))
+
+
 def with_features(docs: DataFrame) -> DataFrame:
     """docs + quality_score + lang_pred appended in ONE pass (no
     self-joins): the enrich step of the composite training-data pipeline.
