@@ -27,6 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 MIN_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(user, steal) ticks from /proc/stat — recorded around the run so
+    the JSON line carries its own noisy-neighbor evidence (this shared
+    VM has sessions where steal exceeds user time; absolute numbers from
+    such sessions are not comparable across rounds)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[1]), int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return 0, 0
+
+
 def _run(df) -> float:
     t0 = time.time()
     df.write.mode("overwrite").format("noop").save()
@@ -75,6 +88,7 @@ def main() -> None:
 
     # ---- warmup (python worker pool + codegen; full-size so all 4*cpus
     # workers spawn — a limit() warmup leaves most workers cold) ------------
+    user0, steal0 = _cpu_ticks()
     cold = _run(pipeline.flagship(spark, pages, dedup=True))
 
     timings: dict[str, float] = {}
@@ -152,6 +166,7 @@ def main() -> None:
      .write.mode("overwrite").format("noop").save())
     timings["curation_100k"] = time.time() - t0
 
+    user1, steal1 = _cpu_ticks()
     flagship = timings["flagship_e2e"]
     print(json.dumps({
         "metric": "flagship parse→enrich→route→aggregate wall-clock",
@@ -163,6 +178,8 @@ def main() -> None:
         "docs_per_sec": round(n_docs / flagship, 1),
         "cold_first_run_sec": round(cold, 3),
         "cpus": cpus,
+        "vm_user_ticks": user1 - user0,
+        "vm_steal_ticks": steal1 - steal0,
     }))
 
 

@@ -1,0 +1,57 @@
+"""Driver-contract queries for the link-graph layer: degree stats
+(oracle-checked) and fixed-iteration PageRank (rows-only; the numpy
+cross-check and bit-determinism live in tests/test_graph.py).
+
+The edge set is a pure function of `documents.doc_id` (200-node directed
+graph), so both engines derive the identical graph with no extra
+fixture: src = doc_id % 200, dst = (doc_id * 31 + 7) % 200, self-loops
+dropped, duplicate edges collapsed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import graph
+from ..sources import io
+from .registry import register
+
+_N_NODES = 200
+
+_EDGES_SQL = f"""
+SELECT DISTINCT doc_id % {_N_NODES} AS src,
+       (doc_id * 31 + 7) % {_N_NODES} AS dst
+FROM documents
+WHERE doc_id % {_N_NODES} != (doc_id * 31 + 7) % {_N_NODES}
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id")
+    return (docs.select((F.col("doc_id") % _N_NODES).alias("src"),
+                        ((F.col("doc_id") * 31 + 7) % _N_NODES).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+@register("graph_degree", f"""
+WITH e AS ({_EDGES_SQL}),
+o AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
+i AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY 1)
+SELECT COALESCE(o.node, i.node) AS node,
+  CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+  CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree
+FROM o FULL OUTER JOIN i ON o.node = i.node
+""")
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node out/in degree of the derived link graph."""
+    return graph.degrees(_edges(spark, sf_dir))
+
+
+@register("graph_pagerank")  # iterative; numpy-verified in pytest
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration PageRank (damping 0.85) over the derived link graph.
+    No SQL oracle: the double arithmetic is iteration-ordered, so the
+    cross-check is a numpy reference (rel err < 1e-9) plus an exact
+    determinism-under-repartition assertion in tests/test_graph.py."""
+    return graph.pagerank(_edges(spark, sf_dir), damping=0.85, n_iter=10)

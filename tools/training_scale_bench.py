@@ -84,7 +84,8 @@ def build_curation_corpus(spark, sf_dir: str, n_docs: int) -> str:
                     .alias("text")))
     corpus = (base
               .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
-              .select((F.col("doc_id") + F.col("i") * F.lit(10_000_000))
+              .select((F.col("doc_id")
+                       + F.col("i").cast("long") * F.lit(10_000_000))
                       .alias("doc_id"),
                       F.concat_ws(" ", "text",
                                   F.concat(F.lit("v"),
@@ -121,7 +122,13 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    def cpu_ticks() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[1]), int(parts[8])  # (user, steal)
+
     for n in args.legs:
+        user0, steal0 = cpu_ticks()
         nd = spark.read.parquet(build_neardup_corpus(spark, args.sf_dir, n))
         cu = spark.read.parquet(build_curation_corpus(spark, args.sf_dir, n))
         r: dict[str, float | int] = {"docs": n}
@@ -147,6 +154,9 @@ def main() -> None:
                                         "doc_id", 500_000)
         r["curation_sec"] = round(noop(kept), 2)
 
+        user1, steal1 = cpu_ticks()
+        r["vm_user_ticks"] = user1 - user0
+        r["vm_steal_ticks"] = steal1 - steal0
         print(json.dumps(r), flush=True)
 
 
