@@ -57,7 +57,16 @@ ENGINE_CONFS: dict[str, str] = {
 # Shuffle/spill dir: prefer RAM-backed tmpfs in this sandbox — the single
 # virtio block device saturates at ~16 concurrent shuffle writers and
 # breaks CPU scaling, which a real cluster's per-executor NVMe would not.
-if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+# CAVEAT (learned the hard way): tmpfs pages count against physical RAM,
+# so a job whose live shuffle footprint approaches memory (e.g. the 10M-doc
+# near-dup leg: ~100 GB of band/verify shuffle) gets the JVM OOM-killed by
+# the KERNEL, not by Spark spilling. Jobs with shuffle volume beyond a few
+# GB must set SPARK_GRAFT_LOCAL_DIR=/tmp/... to spill to disk — that is
+# where a real cluster's shuffle lives anyway.
+_local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+if _local_dir:
+    ENGINE_CONFS["spark.local.dir"] = _local_dir
+elif os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
     ENGINE_CONFS["spark.local.dir"] = "/dev/shm/spark_graft_local"
 
 

@@ -125,3 +125,27 @@ def test_training_pipeline_plan_shape(spark):
     assert len(scan_ids) <= 2
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontam_broadcasts_eval_grams(spark):
+    """The contamination check must broadcast the (small) benchmark gram
+    set: the corpus side joins with zero pre-join shuffle, and nothing
+    plans as a nested loop — at 100 TB the corpus never moves for this."""
+    from blog_parser_spark.plans.queries_export import q_decontam_ngram_overlap
+    plan = _plan(q_decontam_ngram_overlap(spark, SF_DIR))
+    nodes = _nodes(plan)
+    assert nodes.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in nodes
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_export_pack_single_shard_shuffle(spark):
+    """Sequence packing rides ONE hash shuffle (the shard exchange) plus
+    the per-shard window sorts — no extra wide boundary beyond what the
+    export itself requires."""
+    from blog_parser_spark.plans.queries_export import q_export_pack_sequences
+    plan = _plan(q_export_pack_sequences(spark, SF_DIR))
+    nodes = _nodes(plan)
+    # one hashpartitioning exchange on shard; windows reuse it
+    assert nodes.count("Exchange") == 1, nodes
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

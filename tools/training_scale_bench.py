@@ -107,12 +107,22 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
+    # shuffle to DISK for every leg: the 10M near-dup leg's live shuffle
+    # footprint (~100 GB of band+verify exchanges) OOM-kills the JVM if it
+    # lands on the RAM-backed tmpfs default (kernel oom, not Spark spill).
+    # All legs share the config so the N->10N ratios stay comparable.
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/tmp/scale_shuffle")
+
     from blog_parser_spark.session import get_spark
     from blog_parser_spark.operators import dedup, sampling, textstats
     from pyspark.sql import functions as F
 
+    # zstd shuffle compression: the verify join shuffles shingle arrays
+    # (highly compressible word text); zstd roughly halves the on-disk
+    # footprint vs lz4 at these sizes, and every leg pays the same cost.
     spark = get_spark("training-scale", master=f"local[{args.cpus}]",
-                      shuffle_partitions=4 * args.cpus)
+                      shuffle_partitions=4 * args.cpus,
+                      extra={"spark.io.compression.codec": "zstd"})
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
     sc.setCheckpointDir("/tmp/scale_bench_ckpt")
