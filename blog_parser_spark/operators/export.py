@@ -66,3 +66,38 @@ def pack_sequences(df: DataFrame, key_col: str, token_col: str,
             .withColumn("seq_offset",
                         F.pmod(F.col("_prefix"), F.lit(budget)).cast("long"))
             .drop("_prefix"))
+
+
+def chunk_overlap(df: DataFrame, id_col: str, text_col: str,
+                  chunk_size: int, stride: int) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window prep):
+    split `text_col` on spaces and emit one row per window of
+    `chunk_size` tokens starting every `stride` tokens (overlap =
+    chunk_size - stride). Chunk starts are 0, stride, 2*stride, ... while
+    start < n_tokens, so every token lands in >= 1 chunk and the final
+    chunk may be short.
+
+    Pure narrow plan: split + sequence + posexplode + slice, all JVM
+    expressions inside whole-stage codegen — no shuffle, no Python. At
+    100 TB this runs as a map-only stage over the scan; output order is a
+    pure function of the input row, so chunk ids are reproducible on any
+    cluster size."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if not 0 < stride <= chunk_size:
+        raise ValueError(
+            f"stride must be in (0, chunk_size={chunk_size}], got {stride}")
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(toks) - 1, F.lit(0)),
+                        F.lit(stride))
+    rows = (df.withColumn("_toks", toks)
+            .select(F.col(id_col), "_toks",
+                    F.posexplode(starts).alias("chunk_idx", "chunk_start")))
+    chunk = F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_size)
+    return rows.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"))

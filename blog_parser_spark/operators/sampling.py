@@ -36,6 +36,37 @@ def sample_fraction(df: DataFrame, key_col: str, ppm: int) -> DataFrame:
         F.pmod(row_hash(F.col(key_col).cast("string")), F.lit(HASH_MOD)) < ppm)
 
 
+def sample_mixture(df: DataFrame, key_col: str, group_col: str,
+                   weights_ppm: dict[str, int],
+                   default_ppm: int = 0) -> DataFrame:
+    """Data-mixture reweighting: keep a different deterministic fraction
+    per group (e.g. downsample English, keep all of the rare languages).
+    `weights_ppm` maps group value -> parts-per-million kept; groups not
+    listed fall back to `default_ppm`.
+
+    The per-group fraction is a literal-map lookup — pure JVM expression,
+    scan + filter only, no join and no shuffle; like sample_fraction the
+    same rows are chosen on every engine/cluster size, and per-group
+    samples NEST as a group's weight grows (so a mixture can be re-tuned
+    upward without resampling the rows already exported)."""
+    for g, ppm in weights_ppm.items():
+        if not 0 <= ppm <= HASH_MOD:
+            raise ValueError(f"weight for {g!r} must be in [0, {HASH_MOD}],"
+                             f" got {ppm}")
+    if not 0 <= default_ppm <= HASH_MOD:
+        raise ValueError(f"default_ppm must be in [0, {HASH_MOD}],"
+                         f" got {default_ppm}")
+    pairs: list = []
+    for g, ppm in weights_ppm.items():
+        pairs += [F.lit(g), F.lit(int(ppm))]
+    frac = F.coalesce(F.create_map(*pairs)[F.col(group_col)],
+                      F.lit(int(default_ppm))) if pairs \
+        else F.lit(int(default_ppm))
+    return df.filter(
+        F.pmod(row_hash(F.col(key_col).cast("string")), F.lit(HASH_MOD))
+        < frac)
+
+
 def sample_stratified_topn(df: DataFrame, group_col: str, key_col: str,
                            n_per_group: int) -> DataFrame:
     """Exactly n rows per group (fewer if the group is smaller), chosen by

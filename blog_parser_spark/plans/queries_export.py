@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import decontam, export, textstats
+from ..operators import decontam, export, sampling, textstats
 from ..sources import io
 from .queries_ml import _SHINGLES_SQL
 from .registry import register
@@ -217,3 +217,56 @@ def q_export_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
     return export.pack_sequences(toks, "doc_id", "n_tokens",
                                  budget=_BUDGET, n_shards=_N_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunking + mixture-weighted sampling
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@register("export_chunk_overlap", f"""
+WITH t AS (SELECT doc_id, {WORDS} AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(0, len(toks), {_STRIDE})) AS start
+      FROM t)
+SELECT doc_id,
+  CAST(start // {_STRIDE} AS INT) AS chunk_idx,
+  CAST(start AS BIGINT) AS chunk_start,
+  CAST(len(list_slice(toks, start + 1, start + {_CHUNK})) AS BIGINT)
+    AS chunk_tokens,
+  array_to_string(list_slice(toks, start + 1, start + {_CHUNK}), ' ')
+    AS chunk_text
+FROM s
+""")
+def q_export_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({_CHUNK}-token windows every
+    {_STRIDE} tokens): one row per (doc, window) with the chunk's start
+    offset, length and text. Map-only narrow plan — split + sequence +
+    posexplode + slice, no shuffle."""
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return export.chunk_overlap(docs, "doc_id", "text",
+                                chunk_size=_CHUNK, stride=_STRIDE)
+
+
+# upweight rare languages, downsample the en-heavy head — the standard
+# data-mixture step before export. ppm per lang:
+_MIX = {"en": 150_000, "fr": 600_000, "de": 600_000,
+        "es": 800_000, "zh": 1_000_000}
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{g}' THEN {p}" for g, p in _MIX.items()) + " ELSE 0 END"
+
+
+@register("sample_mixture_weighted", f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_HASH_SQL} % 1000000 < {_MIX_CASE}
+""")
+def q_sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted deterministic sampling: per-language keep
+    fractions (en downsampled to 15%, zh kept whole) applied as a
+    literal-map lookup + hash filter — scan + filter only, no join, no
+    shuffle, reproducible on any cluster size."""
+    docs = io.read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source", "n_chars")
+    return sampling.sample_mixture(docs, "doc_id", "lang", _MIX)

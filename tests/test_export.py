@@ -53,6 +53,65 @@ def test_pack_sequences_chunk_invariants(spark):
         assert all(a <= b for a, b in zip(seqs, seqs[1:]))
 
 
+def test_chunk_overlap_tiling_reconstructs_and_overlaps(spark):
+    size, stride = 16, 12
+    docs = _docs(spark).filter("doc_id < 40")
+    chunks = export.chunk_overlap(docs, "doc_id", "text",
+                                  chunk_size=size, stride=stride)
+    orig = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    per_doc: dict[int, list] = {}
+    for r in chunks.collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(orig)
+    for d, rows in per_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        toks = orig[d]
+        rebuilt: list[str] = []
+        for i, r in enumerate(rows):
+            ct = r.chunk_text.split(" ")
+            assert r.chunk_start == r.chunk_idx * stride
+            assert r.chunk_tokens == len(ct)
+            if i < len(rows) - 1:
+                # interior chunks are full and overlap the next by
+                # size - stride identical tokens
+                nxt = rows[i + 1].chunk_text.split(" ")
+                assert ct[stride:] == nxt[:size - stride]
+                rebuilt += ct[:stride]
+            else:
+                rebuilt += ct
+        assert rebuilt == toks
+
+
+def test_chunk_overlap_validates_params(spark):
+    docs = _docs(spark).limit(1)
+    import pytest
+    with pytest.raises(ValueError):
+        export.chunk_overlap(docs, "doc_id", "text", chunk_size=0, stride=1)
+    with pytest.raises(ValueError):
+        export.chunk_overlap(docs, "doc_id", "text", chunk_size=8, stride=9)
+
+
+def test_sample_mixture_equals_per_group_fraction(spark):
+    from blog_parser_spark.operators import sampling
+    docs = io.read_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "lang")
+    weights = {"en": 100_000, "fr": 500_000, "zh": 1_000_000}
+    mixed = sampling.sample_mixture(docs, "doc_id", "lang", weights)
+    got = sorted(mixed.collect())
+    expected = []
+    for g, ppm in weights.items():
+        expected += sampling.sample_fraction(
+            docs.filter(F.col("lang") == g), "doc_id", ppm).collect()
+    assert got == sorted(expected)
+    # unlisted groups drop out entirely with default_ppm=0
+    assert mixed.filter(~F.col("lang").isin(*weights)).count() == 0
+    # samples nest as a group's weight grows
+    wider = sampling.sample_mixture(docs, "doc_id", "lang",
+                                    {**weights, "en": 300_000})
+    assert set(r.doc_id for r in got) <= set(r.doc_id
+                                             for r in wider.collect())
+
+
 def test_contamination_flags_planted_copies(spark):
     docs = _docs(spark)
     eval_docs = docs.filter("doc_id < 20")
