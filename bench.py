@@ -127,7 +127,10 @@ def main() -> None:
     # the dedup/ANN plans show up next to the flagship
     for name in ("join_smj", "agg_rollup", "win_ntile_percent",
                  "agg_sink_counts", "dedup_minhash_lsh", "ann_lsh_bucketed",
-                 "dedup_components", "text_quality"):
+                 "dedup_components", "text_quality",
+                 # round-3 layers: link graph, export, CDC merge
+                 "graph_pagerank", "export_pack_sequences",
+                 "export_chunk_overlap", "cdc_apply_changes"):
         _run_built(name)
         timings[name] = _run_built(name)
 

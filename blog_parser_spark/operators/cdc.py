@@ -57,6 +57,25 @@ def apply_changes(base: DataFrame, changes: DataFrame, key_col: str,
     return survivors.unionByName(upserts)
 
 
+def merge_change_log(state: DataFrame | None, batch: DataFrame,
+                     key_col: str, seq_col: str = "seq",
+                     op_col: str = "op") -> DataFrame:
+    """Fold a new change batch into a persisted change-log state: the
+    state rows are themselves (payload, op, seq) — including DELETE
+    TOMBSTONES, which must persist so a late-arriving lower-seq upsert
+    cannot resurrect a deleted key. Union + latest-change-wins; applying
+    the same batch twice is a no-op (ties are identical rows), so
+    checkpoint-replayed micro-batches are safe."""
+    all_ch = batch if state is None else state.unionByName(batch)
+    return latest_changes(all_ch, key_col, seq_col, op_col)
+
+
+def live_rows(state: DataFrame, op_col: str = "op",
+              seq_col: str = "seq") -> DataFrame:
+    """The queryable snapshot: drop tombstones and CDC bookkeeping."""
+    return state.filter(F.col(op_col) == "u").drop(op_col, seq_col)
+
+
 def scd2_intervals(changes: DataFrame, key_col: str, seq_col: str = "seq",
                    op_col: str = "op") -> DataFrame:
     """Slowly-changing-dimension type-2 history: every change becomes a

@@ -28,6 +28,71 @@ def salted_join_on(fact: DataFrame, dim: DataFrame, key: str, unique_col: str,
     return out.drop("_salt")
 
 
+_BLOOM_SEED = 0x9E3779B9  # second hash = xxhash64(key, seed); any fixed odd constant
+
+
+def bloom_prefiltered_join(probe: DataFrame, build: DataFrame, key: str,
+                           num_bits: int = 1_048_576,
+                           how: str = "inner") -> DataFrame:
+    """Equi-join with a bloom-filter prefilter on the probe side — the
+    standard 100 TB trick when the build side is selective but too big to
+    broadcast whole: condense the build keys into ONE broadcast bloom
+    filter and drop probe rows that cannot match BEFORE the join shuffle.
+    Probe shuffle volume falls to ~selectivity x |probe| (+ the false-
+    positive rate); the result is EXACTLY the plain join's — blooms have
+    no false negatives, and false positives are removed by the real join
+    — so correctness is oracle-checkable against the unfiltered join SQL.
+
+    Spark's own `bloom_filter_agg` is optimizer-internal (not in the SQL
+    function registry), so the filter is hand-rolled from public
+    primitives, all JVM-side: k=2 bit positions per key (xxhash64 with
+    two seeds, mod num_bits), per-64-bit-word `bit_or` aggregate with
+    map-side partial combine (the shuffle carries <= set-words rows, not
+    keys), assembled into one map<word_idx, mask> row that broadcasts at
+    ~16 B per set word — sparse, so tiny build sides cost bytes, not
+    num_bits/8. The probe check is two element_at lookups + bit tests in
+    whole-stage codegen.
+
+    Restricted to inner/semi: for outer joins the prefilter would drop
+    probe rows that must survive as null-extended output."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom prefilter preserves inner/semi joins only, got {how!r}")
+    if num_bits < 64:
+        raise ValueError(f"num_bits must be >= 64, got {num_bits}")
+
+    def positions(df: DataFrame):
+        h1 = F.pmod(F.xxhash64(F.col(key)), F.lit(num_bits))
+        h2 = F.pmod(F.xxhash64(F.col(key), F.lit(_BLOOM_SEED)),
+                    F.lit(num_bits))
+        return h1, h2
+
+    h1, h2 = positions(build)
+    bloom = (build
+             .select(F.explode(F.array(h1, h2)).alias("_pos"))
+             .select(F.expr("_pos div 64").cast("int").alias("_w"),
+                     F.expr("shiftleft(1L, cast(pmod(_pos, 64) as int))")
+                     .alias("_bv"))
+             .groupBy("_w").agg(F.bit_or("_bv").alias("_mask"))
+             .agg(F.map_from_arrays(F.collect_list("_w"),
+                                    F.collect_list("_mask")).alias("_bf")))
+
+    p1, p2 = positions(probe)
+    # positions are materialized as temp columns so the bit tests stay
+    # plain column expressions (no string re-parsing of composed exprs)
+    hit1 = (F.element_at("_bf", F.expr("_p1 div 64").cast("int"))
+            .bitwiseAND(F.expr("shiftleft(1L, cast(pmod(_p1, 64) as int))"))
+            != 0)
+    hit2 = (F.element_at("_bf", F.expr("_p2 div 64").cast("int"))
+            .bitwiseAND(F.expr("shiftleft(1L, cast(pmod(_p2, 64) as int))"))
+            != 0)
+    pre = (probe.join(F.broadcast(bloom))
+           .withColumn("_p1", p1).withColumn("_p2", p2)
+           .filter(hit1 & hit2)
+           .drop("_bf", "_p1", "_p2"))
+    return pre.join(build, key, how)
+
+
 def range_join_binned(a: DataFrame, b: DataFrame, a_start: str, b_ts: str,
                       window_sec: int, how: str = "inner") -> DataFrame:
     """Scale formulation of the range join `a.start <= b.ts <

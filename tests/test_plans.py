@@ -149,3 +149,33 @@ def test_export_pack_single_shard_shuffle(spark):
     # one hashpartitioning exchange on shard; windows reuse it
     assert nodes.count("Exchange") == 1, nodes
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_prefilter_join_exact_and_prefilters(spark):
+    from blog_parser_spark.operators import joins
+
+    li = io.read_table(spark, SF_DIR, "lineitem") \
+        .select("l_orderkey", "l_linenumber")
+    orders = (io.read_table(spark, SF_DIR, "orders")
+              .filter("o_orderpriority = '1-URGENT'")
+              .select(F.col("o_orderkey").alias("l_orderkey"),
+                      "o_totalprice"))
+    bloomed = joins.bloom_prefiltered_join(li, orders, "l_orderkey",
+                                           num_bits=1 << 16)
+    plain = li.join(orders, "l_orderkey", "inner")
+    assert sorted(map(tuple, bloomed.collect())) \
+        == sorted(map(tuple, plain.collect()))
+    plan = bloomed._jdf.queryExecution().executedPlan().toString()
+    # the bloom is a broadcast single-row map probed with element_at
+    assert "element_at" in plan
+    assert "bit_or" in plan or "BitOr" in plan
+
+    # a tiny bloom (64 bits for ~400 build keys) must still be EXACT on
+    # membership semantics: saturated filter = plain join, never dropped
+    tiny = joins.bloom_prefiltered_join(li, orders, "l_orderkey",
+                                        num_bits=64)
+    assert tiny.count() == plain.count()
+
+    import pytest
+    with pytest.raises(ValueError, match="inner/semi"):
+        joins.bloom_prefiltered_join(li, orders, "l_orderkey", how="left")

@@ -338,3 +338,55 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
            .select("l_id", "r_id", "user_id", "l_ts", "r_ts"))
     assert exp.count() > 0
     assert aggregate.multiset_equal(got, exp)
+
+
+def test_cdc_snapshot_stream_matches_batch_and_survives_late_batches(
+        spark, tmp_path):
+    """Streaming CDC snapshot maintenance: micro-batches fold into a
+    bucket-partitioned change-log snapshot; the final live view equals
+    the global latest-change-wins replay, a late LOWER-seq batch cannot
+    override newer versions or resurrect deletes (tombstones persist),
+    and a second run resumes from the checkpoint processing only new
+    files."""
+    from blog_parser_spark.operators import cdc
+
+    src = str(tmp_path / "changes")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, op string, seq int"
+    b1 = [(d, f"v1-{d}", "u", 1) for d in range(100)]
+    b2 = ([(d, f"v2-{d}", "u", 2) for d in range(0, 100, 2)]
+          + [(d, None, "d", 3) for d in range(0, 100, 5)])
+    # late batch with STALE seq=1: its keys all carry a newer change
+    # (delete for %10, v2 for %10+2), so nothing here may win
+    b3 = ([(d, "late", "u", 1) for d in range(0, 100, 10)]
+          + [(d, "late", "u", 1) for d in range(2, 100, 10)])
+
+    def reader():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    _await(stream.start_cdc_snapshot(reader(), snap, ckpt, "doc_id"))
+    live1 = {r.doc_id: r.text
+             for r in cdc.live_rows(spark.read.parquet(snap)).collect()}
+    assert live1 == {d: f"v1-{d}" for d in range(100)}
+
+    # kill/restart: two more files arrive, same checkpoint
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(b3, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    _await(stream.start_cdc_snapshot(reader(), snap, ckpt, "doc_id"))
+
+    state = spark.read.parquet(snap)
+    live = {r.doc_id: r.text for r in cdc.live_rows(state).collect()}
+    allc = spark.createDataFrame(b1 + b2 + b3, schema)
+    expect = {r.doc_id: r.text
+              for r in cdc.latest_changes(allc, "doc_id", "seq", "op")
+              .filter("op = 'u'").collect()}
+    assert live == expect
+    assert 0 not in live and 10 not in live        # deletes stick
+    assert live[2] == "v2-2"                        # late seq lost
+    assert state.filter("op = 'd'").count() == 20   # tombstones persist
