@@ -53,6 +53,12 @@ def bloom_prefiltered_join(probe: DataFrame, build: DataFrame, key: str,
     num_bits/8. The probe check is two element_at lookups + bit tests in
     whole-stage codegen.
 
+    Plan note: attaching the one-row bloom to every probe row is a
+    condition-less join, so the plan carries a BroadcastNestedLoopJoin —
+    with a single-row broadcast side that is a constant-time row widen,
+    not an O(n x m) pairing (same declared pattern as win_gapfill's
+    grid). The bit tests themselves run in whole-stage codegen.
+
     Restricted to inner/semi: for outer joins the prefilter would drop
     probe rows that must survive as null-extended output."""
     if how not in ("inner", "semi", "left_semi", "leftsemi"):

@@ -79,9 +79,22 @@ def main() -> None:
             qs["export_pack_sequences"](spark, SF_DIR),
         "text_repetition (explode + map-side-combined gram counts)":
             qs["text_repetition"](spark, SF_DIR),
+        "join_bloom_prefilter (broadcast bloom map filters probe before the join)":
+            qs["join_bloom_prefilter"](spark, SF_DIR),
+        "cdc_apply_changes (latest-change WindowGroupLimit + broadcast anti-join)":
+            qs["cdc_apply_changes"](spark, SF_DIR),
+        "export_chunk_overlap (map-only narrow plan — no shuffle)":
+            qs["export_chunk_overlap"](spark, SF_DIR),
     }
 
-    # co-located bucketed join (zero-shuffle): needs catalog tables
+    # co-located bucketed join (zero-shuffle): needs catalog tables;
+    # drop leftovers from a previous audit in the same warehouse dir
+    # (DROP TABLE alone doesn't clear an orphaned location dir)
+    import shutil
+    for t in ("audit_pages_b", "audit_scores_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
     io.write_bucketed_table(pages.select("url", "lang", "warc_ts"),
                             "audit_pages_b", buckets=4)
     io.write_bucketed_table(
