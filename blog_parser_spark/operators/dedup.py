@@ -71,12 +71,26 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
-    """(id, sig_0..sig_{N_PERM-1}) — one explode + one groupBy."""
-    sh = (docs.select(id_col, F.explode(shingles_col(text_col)).alias("shingle"))
-          .withColumn("h0", word_hash(F.col("shingle")) % MINHASH_P))
-    aggs = [F.min((F.lit(PERM_A[i]) * F.col("h0") + F.lit(PERM_B[i])) % MINHASH_P)
+    """(id, sig_0..sig_{N_PERM-1}) — map-only.
+
+    sig_i = min over a doc's shingles of perm_i(word_hash(shingle)), and
+    a per-row `array_min(transform(...))` computes that minimum without
+    ever leaving the row — no 62x shingle explode, no groupBy shuffle,
+    no sort-aggregate. (The original explode+groupBy formulation spent
+    ~half the 1M-doc pipeline's executor time in exactly those stages.)
+    The md5-based shingle hashes are bound in their own projection so
+    Catalyst computes them once per row, not once per permutation
+    (CollapseProject never duplicates non-trivial expressions). Docs
+    with < SHINGLE_K words have no shingles and produce no signature —
+    identical to the explode formulation, where they emit no rows."""
+    h = F.transform(shingles_col(text_col), lambda s: word_hash(s) % MINHASH_P)
+    hashed = (docs.select(id_col, h.alias("_h0"))
+              .filter(F.size("_h0") > 0))
+    sigs = [F.array_min(F.transform(
+                F.col("_h0"),
+                lambda x: (F.lit(PERM_A[i]) * x + F.lit(PERM_B[i])) % MINHASH_P))
             .alias(f"sig_{i}") for i in range(N_PERM)]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.select(id_col, *sigs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
