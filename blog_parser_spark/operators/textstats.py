@@ -158,6 +158,83 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"))
 
 
+# CCNet-style duplicated-line removal: drop text segments that recur
+# across too many documents (navigation chrome, cookie banners, boiler-
+# plate). Real webtext segments on '\n'; the fixture corpus has no
+# newlines, so the segmenter here is fixed-width word windows — the
+# distributed shape (segment → global doc-frequency → rebuild) is
+# identical either way.
+def segments_col(text_col: str = "text", seg_len: int = 3) -> Column:
+    """Consecutive non-overlapping seg_len-word segments (the trailing
+    remainder forms a final shorter segment, so the doc reconstructs)."""
+    w = F.split(F.col(text_col), " ")
+    n_segs = F.floor((F.size(w) + F.lit(seg_len - 1)) / F.lit(seg_len)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda g: F.concat_ws(" ", F.slice(w, g * seg_len + 1, seg_len)))
+
+
+def segment_dedup(docs: DataFrame, seg_len: int = 3, max_docs: int = 4) -> DataFrame:
+    """Drop segments whose document frequency (distinct docs containing
+    the exact segment text) exceeds max_docs; reassemble each doc from
+    its surviving segments in order. Two shuffles at scale: one keyed by
+    segment (doc-frequency count, partial-agg combinable; the join back
+    reuses that partitioning), one keyed by doc_id (reassembly). Every
+    doc keeps its row even when all segments drop (kept_md5 = md5(''))."""
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(segments_col("text", seg_len)).alias("seg_idx", "seg"))
+    docfreq = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("docfreq"))
+    flagged = (segs.join(docfreq, "seg")
+               .select("doc_id", "seg_idx", "seg",
+                       (F.col("docfreq") <= max_docs).alias("keep")))
+    kept = F.array_sort(F.collect_list(            # (seg_idx, seg) structs:
+        F.when(F.col("keep"), F.struct("seg_idx", "seg"))))  # sort = doc order
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_segs"),
+                 F.sum(F.col("keep").cast("int")).alias("n_kept"),
+                 kept.alias("_kept"))
+            .select("doc_id",
+                    F.col("n_segs").cast("long").alias("n_segs"),
+                    F.col("n_kept").cast("long").alias("n_kept"),
+                    F.md5(F.concat_ws(
+                        " ", F.transform(F.col("_kept"), lambda s: s["seg"]))
+                        .cast("binary")).alias("kept_md5")))
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram-LM surprisal per doc (the cheap perplexity proxy a
+    webtext quality filter runs before a real LM): neg mean log p(word)
+    under the corpus's own unigram distribution. Shape at scale: one
+    map-side-combinable groupBy(doc, word), one groupBy(word) for the
+    model, then a join of per-doc-word counts (<< token count) against
+    the vocab table — broadcast here (Zipf vocab << corpus; drop the
+    hint and AQE picks the strategy when vocab outgrows the threshold).
+    Cross-engine determinism: log p rounded to 12 digits then held as
+    DECIMAL(18,12) (<= 15 significant digits, so the double→decimal
+    round-trip is exact); partial sums are exact decimals; ONE final
+    double division + round(12)."""
+    tok = docs.select("doc_id", F.explode(words_col()).alias("word"))
+    dw = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt_dw"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = wc.agg(F.sum("cnt").alias("total"))
+    lp = (wc.crossJoin(F.broadcast(total))
+          .select("word",
+                  F.round(F.log(F.col("cnt").cast("double")
+                                / F.col("total").cast("double")), 12)
+                  .cast("decimal(18,12)").alias("lp")))
+    return (dw.join(F.broadcast(lp), "word")
+            .groupBy("doc_id")
+            .agg(F.sum("cnt_dw").alias("n_words"),
+                 F.sum(F.col("cnt_dw").cast("decimal(10,0)")
+                       * F.col("lp")).alias("_sum_lp"))
+            .select("doc_id",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.round(-(F.col("_sum_lp").cast("double"))
+                            / F.col("n_words"), 12).alias("neg_mean_logprob")))
+
+
 def with_features(docs: DataFrame) -> DataFrame:
     """docs + quality_score + lang_pred appended in ONE pass (no
     self-joins): the enrich step of the composite training-data pipeline.

@@ -103,6 +103,59 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(io.read_table(spark, sf_dir, "documents"))
 
 
+@register("text_segment_dedup", f"""
+WITH segs AS (
+  SELECT doc_id, g AS seg_idx,
+    array_to_string(list_slice({WORDS}, g*3+1, g*3+3), ' ') AS seg
+  FROM documents,
+  LATERAL (SELECT unnest(range(0,
+    CAST(ceil(len({WORDS}) / 3.0) AS BIGINT))) AS g)
+), df AS (
+  SELECT seg, count(DISTINCT doc_id) AS docfreq FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+  CAST(count(*) AS BIGINT) AS n_segs,
+  CAST(sum(CASE WHEN d.docfreq <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  md5(coalesce(string_agg(CASE WHEN d.docfreq <= 4 THEN s.seg END,
+                          ' ' ORDER BY s.seg_idx), '')) AS kept_md5
+FROM segs s JOIN df d USING (seg)
+GROUP BY s.doc_id
+""")
+def q_text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-segment removal (docfreq > 4 segments drop;
+    seg_len=3 chosen so the rule bites on the fixture: 22 distinct
+    segments exceed the threshold at sf0.01)."""
+    return textstats.segment_dedup(
+        io.read_table(spark, sf_dir, "documents"), seg_len=3, max_docs=4)
+
+
+@register("text_unigram_logprob", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({WORDS}) AS word FROM documents
+), dw AS (
+  SELECT doc_id, word, count(*) AS cnt_dw FROM tok GROUP BY doc_id, word
+), wc AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY word
+), tot AS (
+  SELECT sum(cnt) AS total FROM wc
+), lp AS (
+  SELECT word,
+    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 12)
+         AS DECIMAL(18,12)) AS lp
+  FROM wc, tot
+)
+SELECT d.doc_id,
+  CAST(sum(d.cnt_dw) AS BIGINT) AS n_words,
+  round(-(CAST(sum(d.cnt_dw * l.lp) AS DOUBLE)) / sum(d.cnt_dw), 12)
+    AS neg_mean_logprob
+FROM dw d JOIN lp l USING (word)
+GROUP BY d.doc_id
+""")
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram surprisal per doc (perplexity-proxy quality score)."""
+    return textstats.unigram_logprob(io.read_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # dedup family — corpora with planted duplicates, both engines build the
 # identical dataset as a pure function of `documents`

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from blog_parser_spark.operators import dedup, multimodal, similarity
+from blog_parser_spark.operators import dedup, multimodal, similarity, textstats
 from blog_parser_spark.plans.queries_ml import _exact_corpus, _near_corpus
 from tests.conftest import SF_DIR
 
@@ -290,3 +290,49 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
                                          max_bucket_size=64)
     assert roomy.exceptAll(uncapped).count() == 0
     assert uncapped.exceptAll(roomy).count() == 0
+
+
+def test_segment_dedup_drops_boilerplate(spark):
+    """A segment shared by many docs (docfreq > max_docs) is removed
+    from every doc; unique segments survive; a doc whose segments all
+    drop keeps its row with kept_md5 = md5('')."""
+    import hashlib
+    rows = ([(i, f"subscribe newsletter now uniq{i} word{i} tail{i}")
+             for i in range(10)]
+            + [(99, "subscribe newsletter now")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textstats.segment_dedup(docs, seg_len=3, max_docs=4).collect()}
+    assert len(out) == 11
+    for i in range(10):
+        r = out[i]
+        assert (r.n_segs, r.n_kept) == (2, 1)
+        want = hashlib.md5(f"uniq{i} word{i} tail{i}".encode()).hexdigest()
+        assert r.kept_md5 == want
+    r = out[99]
+    assert (r.n_segs, r.n_kept) == (1, 0)
+    assert r.kept_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_unigram_logprob_matches_reference_and_is_deterministic(spark):
+    """neg_mean_logprob matches a pure-Python unigram LM (tolerance only
+    for the engine's 12-digit rounding) and is bit-identical under
+    repartitioning (decimal partials are order-independent)."""
+    import math
+    from collections import Counter
+    texts = {1: "a a b c", 2: "b c d", 3: "a d d d e"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textstats.unigram_logprob(docs).collect()}
+    corpus = Counter(w for t in texts.values() for w in t.split(" "))
+    total = sum(corpus.values())
+    for did, t in texts.items():
+        words = t.split(" ")
+        want = -sum(round(math.log(corpus[w] / total), 12)
+                    for w in words) / len(words)
+        assert out[did].n_words == len(words)
+        assert abs(out[did].neg_mean_logprob - want) < 1e-11
+    again = {r.doc_id: r.neg_mean_logprob for r in
+             textstats.unigram_logprob(docs.repartition(7)).collect()}
+    assert again == {d: out[d].neg_mean_logprob for d in out}
