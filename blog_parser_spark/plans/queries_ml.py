@@ -274,8 +274,44 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(corpus, pairs)
 
 
-@register("dedup_simhash")  # approximate banding -> rows-only driver check
+# SimHash is a pure integer function of the text (word hashes -> per-bit
+# majority votes -> 32-bit fingerprint), and the banding join is exact set
+# logic — so the WHOLE mechanism, pigeonhole pruning included, reproduces
+# in SQL. bit j's vote sum and the band bucketing are generated per-bit /
+# per-band below (32 + 4 mechanical terms).
+_SIMHASH_FP_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1"
+    f" THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(32))
+
+_SIMHASH_ORACLE = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+hw AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), w -> {WORD_HASH.format(w='w')}) AS hs
+  FROM corpus
+),
+fp AS (SELECT doc_id, CAST({_SIMHASH_FP_SQL} AS BIGINT) AS fp FROM hw),
+ex AS (
+  SELECT doc_id, fp, b.band, (fp >> (b.band * 8)) & 255 AS band_key
+  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.fp AS fp_a, b.fp AS fp_b
+  FROM ex a JOIN ex b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 6
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs; the oracle reproduces the exact
+    mechanism (fingerprint, 4x8-bit band buckets, hamming verify), so
+    equality is bit-for-bit, not recall-modulo-banding."""
     return dedup.near_dup_pairs_simhash(_near_corpus(spark, sf_dir), max_hamming=6)
 
 
@@ -300,8 +336,61 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.filter("vec_id < 5"), k=5)
 
 
-@register("ann_lsh_bucketed")  # approximate pruning -> rows-only driver check
+# Sign-LSH is deterministic too: the plane weights are a pure function of
+# (table, plane, dim) and the sign of each projection comes from the same
+# left-fold double sum in both engines (DuckDB list_reduce folds left from
+# the first element; Spark folds left from 0.0, and 0.0 + x == x exactly),
+# so the bucket ids — and therefore the candidate set — match bit-for-bit.
+def _lsh_proj_sql(table: int, plane: int) -> str:
+    ws = ", ".join(
+        f"{float(similarity._plane_weight(table * 100 + plane, d))}"
+        for d in range(similarity.DIM))
+    return (f"list_reduce(list_transform(range(1, {similarity.DIM + 1}),"
+            f" i -> v[i] * ([{ws}])[i]), (a, b) -> a + b)")
+
+
+def _lsh_bucket_sql(table: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_lsh_proj_sql(table, p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(similarity.N_PLANES))
+
+
+_ANN_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+bk AS (
+  SELECT vec_id, v,
+    {", ".join(f"CAST({_lsh_bucket_sql(t)} AS BIGINT) AS b{t}"
+               for t in range(similarity.N_TABLES))}
+  FROM e
+),
+ex AS (
+  SELECT vec_id, v, t.t,
+    CASE t.t {" ".join(f"WHEN {t} THEN b{t}" for t in range(similarity.N_TABLES))}
+    END AS b
+  FROM bk CROSS JOIN (VALUES {", ".join(f"({t})" for t in range(similarity.N_TABLES))}) AS t(t)
+),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos
+  FROM ex q JOIN ex c
+    ON q.t = c.t AND q.b = c.b AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, cand_id, cos, rank FROM (
+  SELECT query_id, cand_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY cos DESC, cand_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("ann_lsh_bucketed", _ANN_LSH_ORACLE)
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN; the oracle reproduces the exact mechanism
+    (plane projections, 4-table bucket union, cosine re-rank), so the
+    check is bit-for-bit equality, not recall-vs-brute-force."""
     emb = io.read_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter("vec_id < 5"), k=5)
 
