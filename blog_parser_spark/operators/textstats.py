@@ -214,7 +214,11 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     Cross-engine determinism: log p rounded to 12 digits then held as
     DECIMAL(18,12) (<= 15 significant digits, so the double→decimal
     round-trip is exact); partial sums are exact decimals; ONE final
-    double division + round(12)."""
+    double division + round(12). The plan's one BroadcastNestedLoopJoin
+    is the crossJoin attaching the SINGLE-row corpus-total scalar to the
+    vocab table — bounded by construction (1 x vocab), the standard
+    scalar-broadcast shape; a global window would instead drag the whole
+    vocab through one partition."""
     tok = docs.select("doc_id", F.explode(words_col()).alias("word"))
     dw = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt_dw"))
     wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))

@@ -85,6 +85,10 @@ def main() -> None:
             qs["cdc_apply_changes"](spark, SF_DIR),
         "export_chunk_overlap (map-only narrow plan — no shuffle)":
             qs["export_chunk_overlap"](spark, SF_DIR),
+        "text_segment_dedup (segment docfreq shuffle + doc reassembly shuffle)":
+            qs["text_segment_dedup"](spark, SF_DIR),
+        "text_unigram_logprob (per-(doc,word) counts join broadcast vocab)":
+            qs["text_unigram_logprob"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
