@@ -265,3 +265,51 @@ def with_features(docs: DataFrame) -> DataFrame:
                  else chain.when(cond, F.lit(lg)))
     return (tmp.withColumn("lang_pred", chain)
             .drop(*[f"_s_{lg}" for lg in LANG_ORDER]))
+
+
+def heavy_hitters(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Exact corpus-wide top-k most frequent words.
+
+    explode -> hash-agg (map-side partial combine keeps the shuffle at
+    |vocab| x partitions, not |tokens|) -> TakeOrderedAndProject top-k
+    (per-partition heaps + driver merge of k rows — never a global
+    sort). Tie-break: word ascending (unique per group, so the full
+    ordering is total and the result deterministic at any parallelism).
+    """
+    words = docs.select(F.explode(words_col()).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("word")).limit(k)
+
+
+# Fixed public weights for the linear quality classifier (a stand-in for
+# a trained fasttext/LR quality filter — the OPERATOR is the point).
+CLASSIFIER_WEIGHTS = {"bias": -1.5, "stop": 2.0, "distinct": 1.25,
+                      "lenfrac": 0.75}
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Linear-model document scoring (the curation-pipeline 'quality
+    classifier' stage): logit = w . [stop_ratio, distinct_ratio,
+    len_frac] + b, score = sigmoid(logit), keep = logit > 0.
+
+    Pure-JVM projection — the features and the logit are fixed-order
+    double arithmetic (bit-identical across engines); only the sigmoid
+    is transcendental, so it is rounded to 12 places on both sides, and
+    the keep decision thresholds the EXACT logit (logit > 0 is the same
+    predicate as sigmoid >= 0.5), never the rounded score.
+    """
+    w = words_col()
+    n_words = F.size(w)
+    stop_ratio = marker_hits(w, STOPWORDS).cast("double") / n_words
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_words
+    len_frac = F.least(n_words, F.lit(400)).cast("double") / F.lit(400.0)
+    c = CLASSIFIER_WEIGHTS
+    logit = (F.lit(c["bias"]) + F.lit(c["stop"]) * stop_ratio
+             + F.lit(c["distinct"]) * distinct_ratio
+             + F.lit(c["lenfrac"]) * len_frac)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return docs.select(
+        "doc_id",
+        logit.alias("logit"),
+        F.round(score, 12).alias("quality_prob"),
+        (logit > 0).alias("keep"))
