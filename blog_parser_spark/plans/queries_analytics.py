@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import funnel, textstats
+from ..operators import funnel, links, textstats
 from ..sources import io
 from .registry import register
 
@@ -103,3 +103,28 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-classifier scoring stage over documents."""
     docs = io.read_table(spark, sf_dir, "documents")
     return textstats.quality_classifier(docs)
+
+
+@register("parse_links_domains", """
+WITH t AS (
+  SELECT source, unnest([
+    (doc_id * 31 + 7)  % 100000,
+    (doc_id * 57 + 13) % 100000,
+    (doc_id * 91 + 23) % 100000]) AS tgt
+  FROM documents
+)
+SELECT source || '.example.com' AS src_domain,
+       'site' || CAST(tgt % 17 AS VARCHAR) || '.example.com' AS dst_domain,
+       CAST(count(*) AS BIGINT) AS links
+FROM t
+GROUP BY src_domain, dst_domain
+""")
+def q_parse_links_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level crawl link graph extracted from the RAW HTML BYTES:
+    render pages with the deterministic <nav> outlink block, regex-scan
+    hrefs via the Arrow-batched UDF, aggregate src_domain x dst_domain.
+    The oracle derives the same graph in closed form from doc_id
+    (spec.link_targets), so it verifies the full byte-level render ->
+    extract -> parse -> aggregate path, not just the arithmetic."""
+    pages = io.synth_pages(spark, sf_dir, with_links=True)
+    return links.domain_link_counts(pages)

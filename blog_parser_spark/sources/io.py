@@ -73,7 +73,23 @@ def _render_html_udf():
     return render
 
 
-def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+def _render_html_linked_udf():
+    """Renderer variant that also emits the deterministic <nav> outlink
+    block (spec.link_targets) — byte-identical to _render_html_udf
+    everywhere outside the nav block."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def render(text: pd.Series, doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if t is None else spec.render_html(t, doc_id=int(d))
+             for t, d in zip(text, doc_id)])
+
+    return render
+
+
+def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1,
+                with_links: bool = False) -> DataFrame:
     """documents -> pages(url, warc_ts, html, text, lang), deterministic.
 
     replicate=k deterministically tiles the corpus k-fold (distinct urls via
@@ -85,7 +101,8 @@ def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFra
         reps = spark.range(replicate).select(F.col("id").alias("rep"))
         docs = docs.crossJoin(reps).withColumn(
             "doc_id", F.col("doc_id") + F.col("rep") * 10_000_000).drop("rep")
-    render = _render_html_udf()
+    rendered = (_render_html_linked_udf()("text", "doc_id") if with_links
+                else _render_html_udf()("text"))
     return docs.select(
         F.concat(F.lit("https://"), "source", F.lit(".example.com/post/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -94,7 +111,7 @@ def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFra
             f"+ make_interval(0, 0, 0, cast(doc_id % {spec.WARC_TS_DAY_MOD} as int), 0, 0, "
             f"cast(doc_id % {spec.WARC_TS_SEC_MOD} as int))"
         ).alias("warc_ts"),
-        render("text").alias("html"),
+        rendered.alias("html"),
         F.col("text"),
         F.col("lang"),
     )

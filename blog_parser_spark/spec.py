@@ -143,17 +143,60 @@ def parse_document(html: bytes | None) -> Parsed:
     return Parsed(title, headings, paragraphs, extracted, n_sentences, True, None)
 
 
+# --- link grammar (WAT-style outlink extraction; additive to v1) -----------
+# Only double-quoted lowercase `<a href="...">` anchors count — the fixture
+# renderer emits exactly this shape, and the pinned grammar keeps the Spark
+# UDF, the pure-Python layer, and adversarial fixtures in lockstep.
+HREF_RE = re.compile(r'<a href="([^"]*)"')
+
+N_LINKS = 3                # outlinks per rendered page
+LINK_ID_MOD = 100_000      # target-id space (dangling links are expected)
+LINK_DOMAIN_MOD = 17       # target ids map onto 17 synthetic sites
+
+
+def link_targets(doc_id: int) -> list[int]:
+    """Deterministic outlink target ids for one page (pure function of
+    doc_id — both engines derive the identical link graph with no extra
+    fixture; collisions/dangling targets are allowed, like a real crawl)."""
+    return [(doc_id * 31 + 7) % LINK_ID_MOD,
+            (doc_id * 57 + 13) % LINK_ID_MOD,
+            (doc_id * 91 + 23) % LINK_ID_MOD]
+
+
+def link_url(target_id: int) -> str:
+    return f"https://site{target_id % LINK_DOMAIN_MOD}.example.com/post/{target_id}"
+
+
+def extract_links(html: bytes | None) -> list[str]:
+    """All double-quoted href targets, document order. Decode failures and
+    NULL html yield [] (the page still parses/fails through parse_document;
+    link extraction never raises)."""
+    if html is None:
+        return []
+    try:
+        doc = html.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return []
+    return HREF_RE.findall(doc)
+
+
 def escape_html(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def render_html(text: str) -> bytes:
+def render_html(text: str, doc_id: int | None = None) -> bytes:
     """Deterministic inverse fixture generator (FIXTURES.md §B `pages.html`).
 
     Splits `text` into title (first 8 words), two <h2> headings (4 words
     each), and <p> paragraphs of <=40 words, wrapped in a fixed skeleton.
     Round-trip invariant: parse_document(render_html(t)).extracted_text == t
     for any single-space-separated t (the fixture ground truth shape).
+
+    With doc_id set, a <nav> block of link_targets() anchors is appended
+    before </body>. parse_document extracts only title/h1/h2/h3/p, so the
+    nav block is invisible to text extraction — the round-trip invariant
+    holds bit-for-bit with or without links (asserted in tests/test_spec.py);
+    doc_id=None reproduces the pre-link byte stream exactly.
     """
     words = text.split(" ") if text else []
     title = " ".join(words[:TITLE_WORDS])
@@ -169,5 +212,10 @@ def render_html(text: str) -> bytes:
     buf.append(f"<h1>{escape_html(title)}</h1>")
     buf.extend(f"<h2>{escape_html(h)}</h2>" for h in h2s if h)
     buf.extend(f"<p>{escape_html(p)}</p>" for p in paras if p)
+    if doc_id is not None:
+        buf.append("<nav>")
+        buf.extend(f'<a href="{link_url(t)}">ref</a>'
+                   for t in link_targets(doc_id))
+        buf.append("</nav>")
     buf.append("</body></html>")
     return "".join(buf).encode("utf-8")

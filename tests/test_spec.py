@@ -98,3 +98,27 @@ def test_oracle_dedup_latest():
     routed, _ = oracle.run_pipeline(rows)
     assert len(routed) == 1
     assert routed[0]["extracted_text"] == "New new body"
+
+
+def test_links_render_extract_round_trip():
+    # extract(render(text, doc_id)) == the closed-form targets, and adding
+    # the nav block leaves text extraction bit-identical
+    for d in _documents()[:50]:
+        with_links = spec.render_html(d["text"], doc_id=d["doc_id"])
+        plain = spec.render_html(d["text"])
+        assert spec.extract_links(with_links) == \
+            [spec.link_url(t) for t in spec.link_targets(d["doc_id"])]
+        assert spec.extract_links(plain) == []
+        assert (spec.parse_document(with_links).extracted_text
+                == spec.parse_document(plain).extracted_text == d["text"])
+
+
+def test_links_grammar_edges():
+    assert spec.extract_links(None) == []
+    assert spec.extract_links(b"\xff\xfe<a href=\"x\">") == []  # bad utf-8
+    html = (b'<a href="https://a/1">x</a>'
+            b"<a href='https://b/2'>single-quoted: not grammar</a>"
+            b'<A HREF="https://c/3">uppercase: not grammar</A>'
+            b'<a  href="https://d/4">double space: not grammar</a>'
+            b'<a href="">empty ok</a>')
+    assert spec.extract_links(html) == ["https://a/1", ""]
