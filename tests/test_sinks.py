@@ -192,3 +192,47 @@ def test_bitmap_rollup_persisted_daily_merge(spark, tmp_path):
             .groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_threshold_compaction_multilevel_touches_only_fragmented(spark, tmp_path):
+    import os
+    from blog_parser_spark.sources import compact
+
+    out = str(tmp_path / "ml_sink")
+    docs = io.read_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "lang", "source", "text")
+    # fragment ONE (lang, source) partition with 3 appends x 4 writers;
+    # everything else gets a single clean append
+    frag = docs.filter((F.col("lang") == "en"))
+    first = frag.select("source").limit(1).collect()[0]["source"]
+    hot = frag.filter(F.col("source") == first)
+    docs.subtract(hot).repartition(1) \
+        .write.partitionBy("lang", "source").parquet(out)
+    hot.repartition(12).write.mode("append") \
+       .partitionBy("lang", "source").parquet(out)
+
+    before = sorted(tuple(r) for r in docs.collect())
+    stats0 = compact.partition_file_stats(spark, out, ["lang", "source"])
+    healthy_files = {(r["lang"], r["source"]): r["n_files"]
+                     for r in stats0.collect() if r["n_files"] <= 4}
+
+    res = compact.compact_partitions(spark, out, ["lang", "source"],
+                                     max_files=4)
+    assert res["partitions_compacted"] == 1
+    assert res["files_before"] > 4  # the fragmented partition's files
+
+    stats1 = {(r["lang"], r["source"]): r["n_files"]
+              for r in compact.partition_file_stats(
+                  spark, out, ["lang", "source"]).collect()}
+    assert stats1[("en", first)] == 1
+    # healthy partitions untouched (same file counts)
+    for k, v in healthy_files.items():
+        assert stats1[k] == v
+    # content identical
+    after = sorted(
+        tuple(r) for r in spark.read.option("basePath", out).parquet(out)
+        .select("doc_id", "lang", "source", "text").collect())
+    assert after == before
+    # idempotent: second run is a no-op
+    assert compact.compact_partitions(spark, out, ["lang", "source"],
+                                      max_files=4)["partitions_compacted"] == 0
