@@ -226,6 +226,27 @@ def compact_partition_dir(spark: SparkSession, root: str, partition_col: str,
     return out
 
 
+def write_sorted_layout(df: DataFrame, out_dir: str, sort_cols: list[str],
+                        rowgroup_bytes: int = 128 * 1024 * 1024,
+                        mode: str = "overwrite") -> None:
+    """Data-skipping layout: cluster rows so parquet row-group min/max
+    statistics become selective. Readers filtering on a sort column skip
+    whole row groups from the footer alone — at 100 TB this is the
+    difference between scanning a day and scanning the table, and it
+    costs one sort at write time. (Iceberg's sort-order/z-order table
+    property is the managed equivalent; this is the plain-parquet form.)
+
+    sortWithinPartitions (not orderBy): a global sort adds a range
+    shuffle whose only extra benefit is cross-FILE ordering; per-file
+    row-group stats — what the reader skips on — need only within-file
+    clustering. `parquet.block.size` bounds row-group bytes so a file
+    holds many groups (finer skip granularity).
+    """
+    (df.sortWithinPartitions(*sort_cols)
+     .write.mode(mode).option("parquet.block.size", rowgroup_bytes)
+     .parquet(out_dir))
+
+
 def write_bucketed_table(df: DataFrame, table: str, buckets: int = 16,
                          key: str = "url") -> None:
     """Catalog-registered bucketed+sorted table (Spark bucketBy): two tables

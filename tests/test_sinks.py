@@ -236,3 +236,49 @@ def test_threshold_compaction_multilevel_touches_only_fragmented(spark, tmp_path
     # idempotent: second run is a no-op
     assert compact.compact_partitions(spark, out, ["lang", "source"],
                                       max_files=4)["partitions_compacted"] == 0
+
+
+def test_sorted_layout_rowgroup_skipping(spark, tmp_path):
+    """Row-group min/max stats must let a point predicate on the sort
+    column skip (almost) everything in the sorted layout while the
+    scrambled layout overlaps (almost) every row group — measured from
+    the parquet footers themselves, engine-independent."""
+    import glob
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR_001
+
+    ev = io.read_table(spark, SF_DIR_001, "events") \
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    sorted_dir = str(tmp_path / "by_user")
+    scrambled_dir = str(tmp_path / "scrambled")
+    # tiny row groups so each file carries many (finer skip granularity)
+    io.write_sorted_layout(ev.repartition(2), sorted_dir, ["user_id"],
+                           rowgroup_bytes=32 * 1024)
+    io.write_sorted_layout(ev.repartition(2), scrambled_dir,
+                           ["event_id"],  # ~random wrt user_id
+                           rowgroup_bytes=32 * 1024)
+
+    def overlap_fraction(d, lo, hi):
+        tot = hit = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {name: i for i, name in enumerate(md.schema.names)}
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx["user_id"]).statistics
+                tot += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit / tot, tot
+
+    probe = ev.select("user_id").limit(1).collect()[0]["user_id"]
+    frac_sorted, n_sorted = overlap_fraction(sorted_dir, probe, probe)
+    frac_scrambled, n_scrambled = overlap_fraction(scrambled_dir, probe, probe)
+    assert n_sorted >= 8 and n_scrambled >= 8  # enough groups to mean anything
+    assert frac_sorted <= 0.25
+    assert frac_scrambled >= 0.75
+    # and the pruned read returns exactly the right rows
+    got = (spark.read.parquet(sorted_dir).filter(F.col("user_id") == probe)
+           .count())
+    want = ev.filter(F.col("user_id") == probe).count()
+    assert got == want
