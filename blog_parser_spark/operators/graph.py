@@ -84,3 +84,22 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 10,
         if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
             ranks = _cut(ranks)
     return ranks
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle count of an undirected graph given canonical
+    (a < b) deduplicated edges — the standard a<b<c join enumeration so
+    every triangle is produced exactly once.
+
+    Plan shape: two shuffled hash joins on vertex keys (wedge build
+    e1(a,b)⋈e2(b,c), then closure probe against e3(a,c)). The wedge
+    intermediate grows as sum-of-degree²; at web scale run this behind a
+    k-core / degree-cap prefilter, or orient edges by degree (the
+    "degree ordering" trick) to bound the wedge side."""
+    e1 = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    e2 = edges.select(F.col(a).alias("b"), F.col(b).alias("c"))
+    e3 = edges.select(F.col(a).alias("a3"), F.col(b).alias("c3"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, (F.col("a") == F.col("a3"))
+                      & (F.col("c") == F.col("c3")), "inner")
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

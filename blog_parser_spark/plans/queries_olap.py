@@ -1,0 +1,413 @@
+"""Batch-7 driver-contract queries: TPC-H-shaped optimizer breadth
+(correlated EXISTS agg, argmin-per-group, conditional aggregates,
+ratio-of-sums, HAVING top-k, disjunctive pushdown), log-analytics
+anomaly scoring, join-based triangle counting, mergeable partial
+aggregates, and URL canonicalization (the log-pipeline normalize step).
+
+Determinism notes follow queries.py: identical aliases both sides,
+double sums via DECIMAL(18,4) partials cast back to double, every
+top-k ordering carries a unique tie-break, z-scores/ratios computed
+from integer-exact partials with identical double expressions then
+round(6). NO DECIMAL-typed output columns (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import graph, urlnorm
+from ..sources import io
+from .registry import register
+
+
+def _dsum(col):
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+def _disc_price():
+    # exact decimal BEFORE the multiply — double*double cast after the
+    # product puts the rounding boundary on a half-ULP engines disagree on
+    return (F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)")
+               - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(18,4)")
+
+
+_DISC_SQL = ("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+             "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) "
+             "AS DECIMAL(18,4))")
+
+
+# ---------------------------------------------------------------------------
+# tpch_q4_order_priority — correlated EXISTS folded into an aggregate:
+# orders in a quarter that had at least one lineitem shipped after the
+# order date, counted per priority. Spark plan: the EXISTS becomes a
+# LEFT SEMI sort-merge join with the non-equi ship>order predicate as
+# the join condition's residual — lineitem is never widened, duplicates
+# never multiply the count (semi-join semantics, not inner+distinct).
+# ---------------------------------------------------------------------------
+
+@register("tpch_q4_order_priority", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (io.read_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))))
+    li = io.read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (orders.join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+                        & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+# ---------------------------------------------------------------------------
+# tpch_q2_min_cost_supplier — argmin-per-group through a join: the
+# cheapest (supplier, price) ever observed per part. The classic
+# correlated-scalar-subquery shape, expressed as one aggregation plus
+# a window argmin — no re-scan of the fact table, no correlated loop.
+# Ties (equal min cost) break on s_suppkey so both engines pick the
+# same row.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q2_min_cost_supplier", """
+SELECT l_partkey AS part_key, l_suppkey AS supp_key,
+       CAST(cost AS DOUBLE) AS min_cost
+FROM (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY min(l_extendedprice), l_suppkey) AS rn
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+WHERE rn = 1
+""")
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.read_table(spark, sf_dir, "lineitem")
+    per_supp = (li.groupBy("l_partkey", "l_suppkey")
+                .agg(F.min("l_extendedprice").alias("cost")))
+    w = Window.partitionBy("l_partkey").orderBy("cost", "l_suppkey")
+    return (per_supp.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("l_partkey").alias("part_key"),
+                    F.col("l_suppkey").alias("supp_key"),
+                    F.col("cost").cast("double").alias("min_cost")))
+
+
+# ---------------------------------------------------------------------------
+# tpch_q12_priority_by_flag — conditional aggregates (the CASE-inside-
+# SUM pattern): per return flag, how many lineitems belong to
+# high-priority vs low-priority orders. One join, one agg, both
+# conditional sums computed in the same pass (no double scan).
+# ---------------------------------------------------------------------------
+
+@register("tpch_q12_priority_by_flag", """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""")
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = io.read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (io.read_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+# ---------------------------------------------------------------------------
+# tpch_q14_promo_revenue — ratio of two conditional decimal sums over
+# one month (promo revenue share). Both sums land in the same
+# aggregate; the ratio is computed on the exact-decimal results cast
+# to double, then round(6) — the division inputs are bit-identical
+# across engines so the quotient is too.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q14_promo_revenue", f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+         THEN {_DISC_SQL} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM({_DISC_SQL}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+""")
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (io.read_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))))
+    part = io.read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = _disc_price()
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,4)"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(F.lit(100.0) * _dsum(promo) / _dsum(disc), 6)
+                 .alias("promo_revenue_pct")))
+
+
+# ---------------------------------------------------------------------------
+# tpch_q18_large_orders — HAVING over a fact-side aggregate, then a
+# dimension join only for the survivors (aggregate-before-join: the
+# 60k-row lineitem collapses to ~100 qualifying orders BEFORE touching
+# customer), then deterministic top-k.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q18_large_orders", """
+SELECT c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS total_price,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300)
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 20
+""")
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.read_table(spark, sf_dir, "lineitem")
+    orders = io.read_table(spark, sf_dir, "orders")
+    cust = io.read_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300))
+    return (big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_name", "o_orderkey", "o_orderdate",
+                    F.col("o_totalprice").cast("double").alias("total_price"),
+                    F.col("sum_qty").cast("double").alias("sum_qty"))
+            .orderBy(F.desc("total_price"), "o_orderkey").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# tpch_q19_disjunctive — OR-of-ANDs predicate spanning both join sides
+# (the "discounted revenue" shape). Catalyst extracts the common
+# l_quantity <= 30 / p_size >= 1 bounds and pushes brand/size IN-lists
+# to the part scan; the residual disjunction evaluates post-join in
+# codegen. One broadcast join, no UNION-of-three-scans rewrite needed.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q19_disjunctive", f"""
+SELECT CAST(SUM({_DISC_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    pred = (((F.col("p_brand") == "Brand#12") & size.between(1, 5)
+             & qty.between(1, 11))
+            | ((F.col("p_brand") == "Brand#3") & size.between(1, 10)
+               & qty.between(10, 20))
+            | ((F.col("p_brand") == "Brand#15") & size.between(1, 15)
+               & qty.between(20, 30)))
+    return (li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+            .filter(pred)
+            .agg(_dsum(_disc_price()).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+# ---------------------------------------------------------------------------
+# log_anomaly_zscore — per-(event_type, hour) volume anomalies: hourly
+# counts, then a per-type z-score computed from integer-exact partials
+# (SUM(cnt), SUM(cnt^2), COUNT — all BIGINT, so mean/variance inputs
+# are bit-identical across engines; the double expression is evaluated
+# identically and sqrt is IEEE-correctly-rounded). |z| > 2 flags the
+# spike hours. At 100 TB this is two map-side-combined aggregations —
+# the hourly rollup collapses the raw events before the tiny
+# per-type-window pass.
+# ---------------------------------------------------------------------------
+
+@register("log_anomaly_zscore", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+stats AS (
+  SELECT event_type, hr, cnt,
+         SUM(cnt)     OVER (PARTITION BY event_type) AS s,
+         SUM(cnt*cnt) OVER (PARTITION BY event_type) AS sq,
+         COUNT(*)     OVER (PARTITION BY event_type) AS n
+  FROM hourly)
+SELECT event_type, hr, cnt,
+       round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE)/n)
+             / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*s/n)/(n-1)), 6)
+         AS zscore
+FROM stats
+WHERE n >= 2
+  AND abs((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE)/n)
+          / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*s/n)/(n-1))) > 2.0
+""")
+def q_log_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "event_type", "hr", "cnt",
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("n"))
+    mean = F.col("s").cast("double") / F.col("n")
+    var = ((F.col("sq").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n"))
+           / (F.col("n") - 1))
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return (stats.filter((F.col("n") >= 2) & (F.abs(z) > 2.0))
+            .select("event_type", "hr", "cnt", F.round(z, 6).alias("zscore")))
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count — join-based triangle counting on an undirected
+# graph (edges canonicalized a<b, the standard a<b<c enumeration so
+# every triangle counts exactly once). The graph derives
+# deterministically from orders (mod-97 projection) so the oracle can
+# rebuild it in closed form. The two self-joins are plain shuffled hash
+# joins on vertex keys — the same plan GraphFrames' triangleCount
+# lowers to, with the wedge side (e1⋈e2) growing as sum-of-degree² —
+# at web scale you'd pre-filter to the k-core before this join.
+# ---------------------------------------------------------------------------
+
+@register("graph_triangle_count", """
+WITH e0 AS (
+  SELECT DISTINCT least(o_custkey % 97, o_orderkey % 97) AS a,
+                  greatest(o_custkey % 97, o_orderkey % 97) AS b
+  FROM orders WHERE o_custkey % 97 <> o_orderkey % 97)
+SELECT COUNT(*) AS n_triangles
+FROM e0 e1
+JOIN e0 e2 ON e2.a = e1.b
+JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+""")
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = io.read_table(spark, sf_dir, "orders")
+    u = F.col("o_custkey") % 97
+    v = F.col("o_orderkey") % 97
+    e0 = (o.filter(u != v)
+          .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+          .distinct())
+    return graph.triangle_count(e0)
+
+
+# ---------------------------------------------------------------------------
+# agg_incremental_partials — the mergeable-partial-aggregate pattern
+# behind incremental materialized views: per-(event_type, day) partials
+# (COUNT + exact DECIMAL sum) roll up to per-type totals by SUMming the
+# partials — never re-touching raw rows. The pytest in test_olap.py
+# persists the daily partials to parquet and folds them in day by day
+# (the incremental refresh); this registered query proves the two-level
+# plan itself is exact. At 100 TB the first level is the only pass over
+# raw data; refreshes merge yesterday's partial file with today's.
+# ---------------------------------------------------------------------------
+
+@register("agg_incremental_partials", """
+WITH partials AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,4))) AS sval
+  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE))
+SELECT event_type,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST(SUM(sval) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_days
+FROM partials GROUP BY event_type
+""")
+def q_agg_incremental_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    partials = daily_partials(ev)
+    return merge_partials(partials)
+
+
+def daily_partials(events: DataFrame) -> DataFrame:
+    """Level 1: per-(event_type, day) mergeable partials — the only pass
+    that touches raw rows. DECIMAL sum partials are order-independent."""
+    return (events.groupBy("event_type",
+                           F.date_trunc("day", "ts").cast("date").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).alias("sval")))
+
+
+def merge_partials(partials: DataFrame) -> DataFrame:
+    """Level 2: fold partials to totals — SUM of counts, SUM of decimal
+    sums. Works identically whether `partials` came from one query or
+    from N incremental parquet snapshots unioned together."""
+    return (partials.groupBy("event_type")
+            .agg(F.sum("cnt").cast("bigint").alias("n_events"),
+                 F.sum("sval").cast("double").alias("total_value"),
+                 F.count(F.lit(1)).alias("n_days")))
+
+
+# ---------------------------------------------------------------------------
+# url_canonicalize — the normalize step every web-log pipeline runs
+# before dedup/join: lowercase scheme+host, strip default ports, drop
+# fragments, drop utm_* tracking params, sort surviving query params,
+# trim trailing slashes. Messy inputs are synthesized deterministically
+# from doc_id (4 variants) so the oracle rebuilds byte-identical inputs
+# and the whole normalize path is value-checked, not just counted.
+# Pure JVM expressions (regexp + array ops) — see operators/urlnorm.py.
+# ---------------------------------------------------------------------------
+
+@register("url_canonicalize", """
+WITH messy AS (
+  SELECT doc_id,
+         'HTTPS://' || upper(source) || '.Example.COM:443/post/' ||
+         CAST(doc_id AS VARCHAR) ||
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN '/?utm_source=feed&b=2&a=1'
+           WHEN 1 THEN '?z=9&utm_campaign=x&a=1#frag'
+           WHEN 2 THEN ''
+           ELSE '#top' END AS url
+  FROM documents)
+SELECT doc_id, url,
+       lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+       regexp_replace(
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+         ':443$', '') ||
+       CASE WHEN regexp_replace(
+                   regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                   '/+$', '') = ''
+            THEN '/'
+            ELSE regexp_replace(
+                   regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                   '/+$', '') END ||
+       CASE WHEN COALESCE(array_to_string(list_sort(list_filter(
+                    string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') = ''
+            THEN ''
+            ELSE '?' || COALESCE(array_to_string(list_sort(list_filter(
+                    string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') END
+         AS canon_url
+FROM messy
+""")
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    variant = (F.col("doc_id") % 4).cast("int")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM:443/post/"),
+            F.col("doc_id").cast("string"),
+            F.when(variant == 0, F.lit("/?utm_source=feed&b=2&a=1"))
+             .when(variant == 1, F.lit("?z=9&utm_campaign=x&a=1#frag"))
+             .when(variant == 2, F.lit(""))
+             .otherwise(F.lit("#top"))).alias("url"))
+    return messy.select("doc_id", "url",
+                        urlnorm.canonicalize(F.col("url")).alias("canon_url"))

@@ -1,0 +1,121 @@
+"""OLAP-breadth + log-analytics operator tests: URL canonicalization
+(hand cases, idempotence), join-based triangle counting (hand graphs),
+anomaly z-score (planted spike), and incremental partial-aggregate
+merge (persisted day-by-day fold == full recompute)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from blog_parser_spark.operators import graph, urlnorm
+from blog_parser_spark.plans import queries_olap
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(urlnorm.canonicalize(F.col("url")).alias("c")).first()["c"]
+
+
+def test_url_canonicalize_hand_cases(spark):
+    cases = {
+        # scheme/host lowering + default-port strip + utm drop + sort
+        "HTTPS://Ex.COM:443/a/?utm_source=x&b=2&a=1":
+            "https://ex.com/a?a=1&b=2",
+        # http default port, fragment drop
+        "http://EX.com:80/p#frag": "http://ex.com/p",
+        # non-default port survives
+        "https://ex.com:8443/p": "https://ex.com:8443/p",
+        # :80 on https is NOT default — survives
+        "https://ex.com:80/p": "https://ex.com:80/p",
+        # root path normalizes to '/', empty query vanishes
+        "https://ex.com?": "https://ex.com/",
+        "https://ex.com///": "https://ex.com/",
+        # only-utm query vanishes entirely
+        "https://ex.com/p?utm_a=1&utm_b=2": "https://ex.com/p",
+    }
+    for url, want in cases.items():
+        assert _canon(spark, url) == want, url
+
+
+def test_url_canonicalize_idempotent(spark):
+    urls = ["HTTPS://Ex.COM:443/a/?utm_source=x&b=2&a=1",
+            "http://EX.com:80/p#frag", "https://ex.com?z=1&y=2"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(urlnorm.canonicalize(F.col("url")).alias("c"))
+    twice = once.select(urlnorm.canonicalize(F.col("c")).alias("c"))
+    assert [r["c"] for r in once.collect()] == [r["c"] for r in twice.collect()]
+
+
+def test_triangle_count_hand_graphs(spark):
+    # K4 has C(4,3)=4 triangles; canonical a<b edges
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, "a int, b int")
+    assert graph.triangle_count(df).first()["n_triangles"] == 4
+    # path graph: zero triangles
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a int, b int")
+    assert graph.triangle_count(path).first()["n_triangles"] == 0
+    # one triangle + a pendant edge
+    tri = spark.createDataFrame([(0, 1), (0, 2), (1, 2), (2, 3)],
+                                "a int, b int")
+    assert graph.triangle_count(tri).first()["n_triangles"] == 1
+
+
+def test_anomaly_zscore_planted_spike(spark, tmp_path):
+    # 20 hours of 5 events + one spike hour of 60 -> only the spike flags
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(20):
+        n = 60 if h == 7 else 5
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=i % 60),
+                         eid % 13, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = queries_olap.q_log_anomaly_zscore(spark, sf).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["cnt"] == 60 and row["hr"] == base + dt.timedelta(hours=7)
+    # z-score matches the closed-form population-of-21 sample stddev calc
+    cnts = [60 if h == 7 else 5 for h in range(20)]
+    mean = sum(cnts) / len(cnts)
+    var = sum((c - mean) ** 2 for c in cnts) / (len(cnts) - 1)
+    assert abs(row["zscore"] - round((60 - mean) / math.sqrt(var), 6)) < 1e-9
+
+
+def test_incremental_partials_fold_equals_recompute(spark, tmp_path):
+    """The MV-maintenance story: persist per-day partials parquet
+    day-by-day (incremental refresh), then merge the accumulated
+    snapshots — totals must equal a direct aggregate over all raw rows."""
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, base + dt.timedelta(days=i % 5, minutes=i % 90), i % 7,
+             ["click", "view"][i % 2], float(i % 11) * 0.25, "{}")
+            for i in range(2000)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    pdir = f"{tmp_path}/partials"
+    # incremental: one refresh per day appends that day's partial rows
+    for d in range(5):
+        day = (base + dt.timedelta(days=d)).date()
+        day_rows = ev.filter(F.to_date("ts") == F.lit(day.isoformat()))
+        queries_olap.daily_partials(day_rows).write.mode("append").parquet(pdir)
+    merged = {r["event_type"]: r for r in
+              queries_olap.merge_partials(spark.read.parquet(pdir)).collect()}
+    direct = {r["event_type"]: r for r in
+              ev.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,4)"))
+                      .cast("double").alias("tv")).collect()}
+    assert set(merged) == set(direct)
+    for k, row in merged.items():
+        assert row["n_events"] == direct[k]["n"]
+        assert row["total_value"] == direct[k]["tv"]  # decimal-exact: bit-equal
+        assert row["n_days"] == 5
