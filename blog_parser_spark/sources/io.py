@@ -271,3 +271,68 @@ def write_bucketed_by_url(df: DataFrame, out_dir: str, buckets: int = 256,
     (df.withColumn("url_bucket", b)
        .repartition(buckets, "url_bucket")
        .write.mode(mode).partitionBy("url_bucket").parquet(out_dir))
+
+
+def write_zorder_layout(df: DataFrame, out_dir: str, zcols: list[str],
+                        bits: int = 8,
+                        rowgroup_bytes: int = 128 * 1024 * 1024,
+                        mode: str = "overwrite") -> None:
+    """Multi-column data-skipping layout: cluster on a Morton (Z-order)
+    curve over `zcols` so row-group min/max stats are selective on EVERY
+    z-column at once — a single-column sort skips perfectly on one column
+    and not at all on the others. This is the plain-parquet form of
+    Iceberg/Delta `ZORDER BY`; use it for fact tables probed by more than
+    one dimension (url-hash × day, domain × ts, ...).
+
+    Mechanics (all JVM row-path expressions; one sampling pass + one
+    range shuffle):
+      1. per-column RANK quantization: 2^bits-1 approxQuantile cut
+         points (sample-based sketch, driver array bounded by 2^bits,
+         never by the data) — equal-POPULATION codes, so heavy-tailed
+         columns spread across the full code range instead of collapsing
+         into the dense end the way min-max scaling does (Delta's
+         OPTIMIZE ZORDER uses per-column range-partition ids, the same
+         idea). The code = #boundaries <= x via an F.aggregate fold over
+         the literal boundary array (codegen loop, no Python);
+      2. interleave the code bits round-robin into one BIGINT z-value
+         (bits·|zcols| <= 63);
+      3. repartitionByRange(z) + sortWithinPartitions(z): cross-file
+         ranges from the range exchange, within-file row-group locality
+         from the sort; `parquet.block.size` keeps groups small enough
+         to skip at fine grain.
+
+    The z column is dropped before writing — layout, not schema.
+    Quantile precision only shapes the LAYOUT; reads stay exact, so the
+    approx sketch is free correctness-wise.
+    """
+    n = len(zcols)
+    if n * bits > 63:
+        raise ValueError(f"bits*|zcols| = {n * bits} exceeds BIGINT range")
+    num = [F.col(c).cast("timestamp").cast("long").cast("double")
+           if dict(df.dtypes)[c].startswith("timestamp")
+           else F.col(c).cast("double") for c in zcols]
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    proj = df.select(*[e.alias(f"x{i}") for i, e in enumerate(num)])
+    quant = []
+    for i in range(n):
+        bnds = proj.stat.approxQuantile(f"x{i}", probs, 1.0 / (4 << bits))
+        uniq = sorted(set(b for b in bnds if b is not None))
+        if not uniq:  # all-null column: constant z contribution
+            quant.append(F.lit(0).cast("bigint"))
+            continue
+        code = F.aggregate(
+            F.lit(uniq), F.lit(0).cast("bigint"),
+            lambda acc, b: acc + F.when(num[i] >= b, 1).otherwise(0))
+        # NULLs sort first (code 0) instead of poisoning the curve
+        quant.append(F.coalesce(code, F.lit(0).cast("bigint")))
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for j, q in enumerate(quant):
+            z = z + F.shiftleft(F.shiftright(q, bit).bitwiseAND(F.lit(1)),
+                                bit * n + j)
+    (df.withColumn("_z", z)
+       .repartitionByRange("_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode(mode).option("parquet.block.size", rowgroup_bytes)
+       .parquet(out_dir))

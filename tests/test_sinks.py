@@ -282,3 +282,57 @@ def test_sorted_layout_rowgroup_skipping(spark, tmp_path):
            .count())
     want = ev.filter(F.col("user_id") == probe).count()
     assert got == want
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """The z-order claim: row-group stats are selective on BOTH z
+    columns, where a single-column sort is selective on its sort column
+    only. Measured from parquet footers (engine-independent), then the
+    pruned read is value-checked."""
+    import glob
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR_001
+
+    ev = io.read_table(spark, SF_DIR_001, "events") \
+        .select("event_id", "user_id", "value")
+    zdir = str(tmp_path / "zord")
+    sdir = str(tmp_path / "single")
+    io.write_zorder_layout(ev, zdir, ["user_id", "value"],
+                           rowgroup_bytes=8 * 1024)
+    io.write_sorted_layout(ev.repartition(2), sdir, ["user_id"],
+                           rowgroup_bytes=16 * 1024)
+
+    def overlap_fraction(d, col, lo, hi):
+        tot = hit = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {name: i for i, name in enumerate(md.schema.names)}
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx[col]).statistics
+                tot += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit / tot, tot
+
+    u_probe = ev.select("user_id").limit(1).collect()[0]["user_id"]
+    # ~10% of ROWS (quantile band, not min-max fraction: value is skewed,
+    # so a min-max band would legitimately hit most groups)
+    vband = tuple(ev.stat.approxQuantile("value", [0.45, 0.55], 0.001))
+
+    fz_u, nz = overlap_fraction(zdir, "user_id", u_probe, u_probe)
+    fz_v, _ = overlap_fraction(zdir, "value", *vband)
+    fs_u, ns = overlap_fraction(sdir, "user_id", u_probe, u_probe)
+    fs_v, _ = overlap_fraction(sdir, "value", *vband)
+    assert nz >= 16 and ns >= 16
+    # z-order: meaningful skipping on BOTH dimensions
+    assert fz_u <= 0.5 and fz_v <= 0.5
+    # single-column sort: perfect on its column, blind on the other
+    assert fs_u <= 0.25 and fs_v >= 0.75
+    # pruned reads return exactly the right rows
+    got = (spark.read.parquet(zdir)
+           .filter((F.col("value") >= vband[0]) & (F.col("value") <= vband[1]))
+           .count())
+    want = ev.filter((F.col("value") >= vband[0])
+                     & (F.col("value") <= vband[1])).count()
+    assert got == want
