@@ -411,3 +411,76 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(F.lit("#top"))).alias("url"))
     return messy.select("doc_id", "url",
                         urlnorm.canonicalize(F.col("url")).alias("canon_url"))
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention — the product-analytics retention matrix: users
+# cohorted by first-seen day, then counted by (cohort_day, day_offset)
+# of later activity. Two aggregations over the events table (first-seen
+# per user, distinct user-days) joined on user_id — both shuffles hash
+# on user_id, so AQE can reuse one exchange. DISTINCT before the join
+# keeps the join input at |user×day|, not |events|.
+# ---------------------------------------------------------------------------
+
+@register("cohort_retention", """
+WITH firstday AS (
+  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS act_day
+  FROM events)
+SELECT cohort_day,
+       CAST(datediff('day', cohort_day, act_day) AS INTEGER) AS day_offset,
+       COUNT(*) AS active_users
+FROM activity JOIN firstday USING (user_id)
+GROUP BY cohort_day, CAST(datediff('day', cohort_day, act_day) AS INTEGER)
+""")
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    firstday = (ev.groupBy("user_id")
+                .agg(F.min(day).alias("cohort_day")))
+    activity = ev.select("user_id", day.alias("act_day")).distinct()
+    return (activity.join(firstday, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff("act_day", "cohort_day").cast("int")
+                     .alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("active_users")))
+
+
+# ---------------------------------------------------------------------------
+# agg_ohlc_resample — telemetry downsampling to per-(series, day) OHLC
+# bars: open/close via min_by/max_by on the (ts, event_id) struct (ONE
+# hash aggregate — no per-group window sort; event_id uniquifies equal
+# timestamps so both engines pick the same row), high/low plain min/max.
+# The oracle expresses identical semantics with row_number windows.
+# ---------------------------------------------------------------------------
+
+@register("agg_ohlc_resample", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+         row_number() OVER (PARTITION BY event_type,
+                            CAST(date_trunc('day', ts) AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                            CAST(date_trunc('day', ts) AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, day,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+       CAST(MAX(value) AS DOUBLE) AS high,
+       CAST(MIN(value) AS DOUBLE) AS low,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close,
+       COUNT(*) AS n_events
+FROM daily GROUP BY event_type, day
+""")
+def q_agg_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (ev.groupBy("event_type",
+                       F.date_trunc("day", "ts").cast("date").alias("day"))
+            .agg(F.min_by("value", key).cast("double").alias("open"),
+                 F.max("value").cast("double").alias("high"),
+                 F.min("value").cast("double").alias("low"),
+                 F.max_by("value", key).cast("double").alias("close"),
+                 F.count(F.lit(1)).alias("n_events")))
