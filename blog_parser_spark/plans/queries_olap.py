@@ -484,3 +484,108 @@ def q_agg_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("value").cast("double").alias("low"),
                  F.max_by("value", key).cast("double").alias("close"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# tpch_q10_returned_revenue — the returned-item report: 3-way join with
+# the date filter pushed to orders and the returnflag filter pushed to
+# the lineitem scan, nation broadcast, deterministic top-20.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q10_returned_revenue", f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({_DISC_SQL}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.read_table(spark, sf_dir, "customer")
+    orders = (io.read_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))))
+    li = (io.read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    nation = io.read_table(spark, sf_dir, "nation")
+    return (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(_dsum(_disc_price()).alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# tpch_q16_supplier_cnt — NOT IN as a broadcast anti-join (suppkeys are
+# non-null, so anti-join == NOT IN) + COUNT(DISTINCT) per group +
+# deterministic top-k. The IN-list size filter pushes to the part scan.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q16_supplier_cnt", """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 15
+""")
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = (io.read_table(spark, sf_dir, "part")
+            .filter(F.col("p_size").isin(1, 5, 9, 13)))
+    bad = (io.read_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                  "left_anti")
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type").limit(15))
+
+
+# ---------------------------------------------------------------------------
+# tpch_q22_dormant_customers — scalar-subquery threshold + anti-join:
+# high-balance customers with no recent orders, per market segment. The
+# global average stays IN the plan (one-row aggregate crossJoin-broadcast
+# back onto customer — no driver collect), and is computed from a
+# DECIMAL-exact sum so both engines derive the identical double threshold
+# (a plain AVG(double) differs in the last ULP with partitioned
+# summation, and a half-ULP threshold flips boundary rows).
+# ---------------------------------------------------------------------------
+
+@register("tpch_q22_dormant_customers", """
+WITH avgbal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer, avgbal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_mktsegment
+""")
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = io.read_table(spark, sf_dir, "customer")
+    avgbal = (cust.filter(F.col("c_acctbal") > 0)
+              .agg((F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                    .cast("double") / F.count(F.lit(1))).alias("avg_bal")))
+    recent = (io.read_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    return (cust.crossJoin(F.broadcast(avgbal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 _dsum(F.col("c_acctbal")).alias("totacctbal")))

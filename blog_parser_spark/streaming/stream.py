@@ -381,3 +381,55 @@ def start_windowed(df: DataFrame, out_dir: str, checkpoint: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def anomaly_zscore_stream(events: DataFrame) -> DataFrame:
+    """Online volume-anomaly scoring (the streaming dual of batch
+    log_anomaly_zscore): per event_type, each completed hour's count is
+    z-scored against the hours seen SO FAR (prequential — the score uses
+    only information available at that point in the stream), then folded
+    into the running state.
+
+    State per key is three BIGINTs (sum, sum-of-squares, n of hourly
+    counts) — integer-exact, so the derived mean/variance doubles are
+    bit-reproducible across retries and restarts, and the state size is
+    O(1) per event_type regardless of stream length.
+
+    Contract: hours must not straddle micro-batches (replay/backfill
+    alignment, e.g. hourly files). A production tail with late data
+    would put a watermarked tumbling-window count in front and feed the
+    CLOSED windows here; this operator is the scoring state machine.
+    Emits one row per (event_type, hour): zscore is NULL until 2 prior
+    hours exist and variance is positive.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "event_type string, hr timestamp, cnt long, zscore double"
+    state_schema = "s long, sq long, n long"
+
+    def fn(key, pdfs, state):
+        s, sq, n = state.get if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(pdfs))
+        counts = pdf["ts"].dt.floor("h").value_counts().sort_index()
+        rows = []
+        for hr, cnt in counts.items():
+            cnt = int(cnt)
+            z = None
+            if n >= 2:
+                mean = s / n
+                var = (sq - s * s / n) / (n - 1)
+                if var > 0:
+                    z = round((cnt - mean) / math.sqrt(var), 6)
+            rows.append((key[0], hr, cnt, z))
+            s, sq, n = s + cnt, sq + cnt * cnt, n + 1
+        state.update((s, sq, n))
+        out = pd.DataFrame(rows, columns=["event_type", "hr", "cnt", "zscore"])
+        # all-None zscore batches must still be float64, not object
+        yield out.astype({"zscore": "float64"})
+
+    return (events.groupBy("event_type")
+            .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -7,7 +7,7 @@ files and converge to the batch result over the union."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from blog_parser_spark.operators import aggregate
 from blog_parser_spark.plans import pipeline
@@ -390,3 +390,57 @@ def test_cdc_snapshot_stream_matches_batch_and_survives_late_batches(
     assert 0 not in live and 10 not in live        # deletes stick
     assert live[2] == "v2-2"                        # late seq lost
     assert state.filter("op = 'd'").count() == 20   # tombstones persist
+
+
+def test_anomaly_zscore_stream_matches_prequential_batch(spark, tmp_path):
+    """Streaming prequential z-scores across day-aligned micro-batches
+    must match the batch window formulation (score each hour against
+    STRICTLY PRIOR hours) — integer state makes the doubles identical up
+    to the documented round(6)."""
+    import os
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    ev = io.read_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_days = (hi - lo).days + 1
+    # 4 chronological slices on day boundaries -> hours never straddle files
+    cuts = [0, span_days // 4, span_days // 2, 3 * span_days // 4, span_days + 1]
+    day = F.datediff(F.col("ts").cast("date"), F.lit(lo.date().isoformat()))
+    for i in range(4):
+        (ev.filter((day >= cuts[i]) & (day < cuts[i + 1])).coalesce(1)
+         .write.mode("append").parquet(src))
+
+    stream_ev = (spark.readStream.schema(_EV_SCHEMA)
+                 .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.anomaly_zscore_stream(stream_ev)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("anom_stream").trigger(availableNow=True).start())
+    _await(q)
+    got = {(r["event_type"], r["hr"]): (r["cnt"], r["zscore"])
+           for r in spark.sql("SELECT * FROM anom_stream").collect()}
+
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    s = F.sum("cnt").over(w).cast("double")
+    sq = F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    var = (sq - s * s / n) / (n - 1)
+    z = F.when((n >= 2) & (var > 0),
+               F.round((F.col("cnt") - s / n) / F.sqrt(var), 6))
+    exp = {(r["event_type"], r["hr"]): (r["cnt"], r["z"])
+           for r in hourly.select("event_type", "hr", "cnt",
+                                  z.alias("z")).collect()}
+    assert set(got) == set(exp) and len(got) > 100
+    n_scored = 0
+    for k, (cnt_g, z_g) in got.items():
+        cnt_e, z_e = exp[k]
+        assert cnt_g == cnt_e, k
+        if z_e is None:
+            assert z_g is None, k
+        else:
+            assert z_g is not None and abs(z_g - z_e) < 1e-9, k
+            n_scored += 1
+    assert n_scored > 100  # the parity isn't vacuous
