@@ -132,3 +132,69 @@ def range_join_binned(a: DataFrame, b: DataFrame, a_start: str, b_ts: str,
     cond = (F.col(b_ts) >= F.col(a_start)) & (
         F.col(b_ts) < F.col(a_start) + window_sec)
     return a2.join(b2, "_bin", how).filter(cond).drop("_bin")
+
+
+def fuzzy_jaccard_join(left: DataFrame, right: DataFrame,
+                       threshold: float,
+                       id_l: str = "id_l", toks_l: str = "toks_l",
+                       id_r: str = "id_r", toks_r: str = "toks_r") -> DataFrame:
+    """Exact set-similarity join (token-set Jaccard >= threshold) with
+    PREFIX FILTERING — the standard scalable shape for fuzzy record
+    linkage (AllPairs/PPJoin family; public algorithm). Returns
+    (id_l, id_r, jacc).
+
+    Why it scales where the naive form doesn't: candidates come from an
+    equi-join on single PREFIX tokens, never a cross join. For Jaccard t,
+    any pair with jacc >= t has overlap o >= t·max(|x|,|y|), so by
+    pigeonhole the two prefixes of length |x| - ceil(t·|x|) + 1 — taken
+    in a GLOBAL rarest-first token order — must share a token. Rare
+    tokens front-load the prefixes, so hot tokens (stopwords) almost
+    never become join keys: candidate volume tracks the rare end of the
+    frequency spectrum. The exhaustive-Jaccard oracle in the registered
+    query proves the filter is LOSSLESS, not approximate.
+
+    Plan shape: one docfreq aggregate over both sides, one shuffled join
+    of exploded tokens onto the rank table (vocab never broadcast — it
+    won't fit at web scale), per-doc array rebuild, prefix explode,
+    candidate equi-join + distinct, verify via array_intersect on the
+    full sorted-token arrays. jacc = inter/(|x|+|y|-inter) — one IEEE
+    division of identical integers, bit-reproducible, no rounding.
+
+    Inputs carry DISTINCT token arrays (dedupe upstream); ids must be
+    unique per side.
+    """
+    lt = left.select(F.col(id_l).alias("_id"),
+                     F.col(toks_l).alias("_toks"), F.lit(0).alias("_side"))
+    rt = right.select(F.col(id_r).alias("_id"),
+                      F.col(toks_r).alias("_toks"), F.lit(1).alias("_side"))
+    both = lt.unionByName(rt)
+    tok = both.select("_id", "_side", F.explode("_toks").alias("_tok"))
+    # global rarest-first order; (df, token) is a total order -> every
+    # executor derives the identical prefix for the same document
+    rank = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (tok.join(rank, "_tok")
+              .groupBy("_id", "_side")
+              .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok")))
+                   .alias("_ord")))
+    n = F.size("_ord")
+    plen = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    pref = (ranked.select(
+        "_id", "_side", "_ord",
+        F.slice(F.col("_ord"), 1, plen).alias("_pref"))
+        .select("_id", "_side", "_ord",
+                F.explode("_pref._tok").alias("_ptok")))
+    lp = (pref.filter(F.col("_side") == 0)
+          .select(F.col("_id").alias("_lid"), F.col("_ord._tok").alias("_ltoks"),
+                  "_ptok"))
+    rp = (pref.filter(F.col("_side") == 1)
+          .select(F.col("_id").alias("_rid"), F.col("_ord._tok").alias("_rtoks"),
+                  "_ptok"))
+    cand = (lp.join(rp, "_ptok")
+            .select("_lid", "_rid", "_ltoks", "_rtoks")
+            .dropDuplicates(["_lid", "_rid"]))
+    inter = F.size(F.array_intersect("_ltoks", "_rtoks"))
+    union = F.size("_ltoks") + F.size("_rtoks") - inter
+    jacc = inter.cast("double") / union
+    return (cand.select(F.col("_lid").alias(id_l), F.col("_rid").alias(id_r),
+                        jacc.alias("jacc"))
+            .filter(F.col("jacc") >= threshold))

@@ -589,3 +589,46 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  _dsum(F.col("c_acctbal")).alias("totacctbal")))
+
+
+# ---------------------------------------------------------------------------
+# join_fuzzy_jaccard — exact fuzzy record linkage: token-set Jaccard
+# >= 0.8 between documents and a perturbed copy (each right-side doc
+# drops its 2 lexically-last tokens, so planted matches sit at
+# (n-2)/n and docs with <10 distinct tokens fall below threshold).
+# Spark runs the PREFIX-FILTERED join (operators/joins.py
+# fuzzy_jaccard_join — candidates from rarest-token prefixes only);
+# the oracle computes EXHAUSTIVE all-pairs Jaccard, so a green row
+# proves the prefix filter is lossless, not approximate. jacc is one
+# IEEE division of identical integers — no rounding needed.
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = ("list_sort(list_distinct(list_filter("
+             "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))")
+
+@register("join_fuzzy_jaccard", f"""
+WITH lt AS (
+  SELECT doc_id AS id_l, {_TOKS_SQL} AS t FROM documents),
+rt AS (
+  SELECT doc_id + 100000 AS id_r,
+         list_slice({_TOKS_SQL}, 1, len({_TOKS_SQL}) - 2) AS t
+  FROM documents),
+pairs AS (
+  SELECT id_l, id_r,
+         len(list_filter(l.t, x -> list_contains(r.t, x))) AS inter,
+         len(l.t) AS nl, len(r.t) AS nr
+  FROM lt l CROSS JOIN rt r)
+SELECT id_l, id_r, CAST(inter AS DOUBLE) / (nl + nr - inter) AS jacc
+FROM pairs
+WHERE inter > 0 AND CAST(inter AS DOUBLE) / (nl + nr - inter) >= 0.8
+""")
+def q_join_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import joins
+    docs = io.read_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")))
+    left = docs.select(F.col("doc_id").alias("id_l"), toks.alias("toks_l"))
+    right = docs.select(
+        (F.col("doc_id") + 100000).alias("id_r"),
+        F.slice(toks, 1, F.size(toks) - 2).alias("toks_r"))
+    return joins.fuzzy_jaccard_join(left, right, threshold=0.8)

@@ -119,3 +119,38 @@ def test_incremental_partials_fold_equals_recompute(spark, tmp_path):
         assert row["n_events"] == direct[k]["n"]
         assert row["total_value"] == direct[k]["tv"]  # decimal-exact: bit-equal
         assert row["n_days"] == 5
+
+
+def test_fuzzy_jaccard_join_hand_cases(spark):
+    from blog_parser_spark.operators import joins
+    left = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d", "e"]),      # vs r1: inter 4, union 5 -> 0.8
+         (2, ["p", "q", "r", "s"]),           # vs r2: inter 2, union 4 -> 0.5
+         (3, ["x"])],                         # no partner
+        "id_l long, toks_l array<string>")
+    right = spark.createDataFrame(
+        [(10, ["a", "b", "c", "d"]),
+         (20, ["p", "q", "z", "w"]),
+         (30, ["m", "n"])],
+        "id_r long, toks_r array<string>")
+    got = {(r["id_l"], r["id_r"]): r["jacc"]
+           for r in joins.fuzzy_jaccard_join(left, right, 0.8).collect()}
+    assert got == {(1, 10): 0.8}
+    # losslessness vs brute force on a denser corpus (every subset pair)
+    import itertools
+    univ = ["t%d" % i for i in range(8)]
+    lrows = [(i, sorted(set(c))) for i, c in enumerate(
+        itertools.combinations(univ, 6))]
+    rrows = [(100 + i, sorted(set(c))) for i, c in enumerate(
+        itertools.combinations(univ, 5))]
+    ldf = spark.createDataFrame(lrows, "id_l long, toks_l array<string>")
+    rdf = spark.createDataFrame(rrows, "id_r long, toks_r array<string>")
+    got = {(r["id_l"], r["id_r"]) for r in
+           joins.fuzzy_jaccard_join(ldf, rdf, 0.7).collect()}
+    want = set()
+    for i, lt in lrows:
+        for j, rt in rrows:
+            inter = len(set(lt) & set(rt))
+            if inter and inter / (len(lt) + len(rt) - inter) >= 0.7:
+                want.add((i, j))
+    assert got == want and len(want) > 50
