@@ -178,20 +178,28 @@ def fuzzy_jaccard_join(left: DataFrame, right: DataFrame,
                    .alias("_ord")))
     n = F.size("_ord")
     plen = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
-    pref = (ranked.select(
-        "_id", "_side", "_ord",
-        F.slice(F.col("_ord"), 1, plen).alias("_pref"))
-        .select("_id", "_side", "_ord",
-                F.explode("_pref._tok").alias("_ptok")))
-    lp = (pref.filter(F.col("_side") == 0)
-          .select(F.col("_id").alias("_lid"), F.col("_ord._tok").alias("_ltoks"),
-                  "_ptok"))
-    rp = (pref.filter(F.col("_side") == 1)
-          .select(F.col("_id").alias("_rid"), F.col("_ord._tok").alias("_rtoks"),
-                  "_ptok"))
-    cand = (lp.join(rp, "_ptok")
-            .select("_lid", "_rid", "_ltoks", "_rtoks")
+    # prefix rows carry ONLY (id, token): the token arrays would otherwise
+    # be replicated once per prefix token through the explode AND the
+    # candidate shuffle — at web scale that multiplies shuffle bytes by
+    # the prefix length. Arrays re-attach per candidate PAIR (post-dedup,
+    # the smallest possible fan-in) via two id-keyed joins.
+    pref = ranked.select("_id", "_side",
+                         F.explode(F.slice(F.col("_ord._tok"), 1, plen))
+                         .alias("_ptok"))
+    cand = (pref.filter(F.col("_side") == 0)
+            .select(F.col("_id").alias("_lid"), "_ptok")
+            .join(pref.filter(F.col("_side") == 1)
+                  .select(F.col("_id").alias("_rid"), "_ptok"), "_ptok")
+            .select("_lid", "_rid")
             .dropDuplicates(["_lid", "_rid"]))
+    toks_of = ranked.select("_id", "_side", F.col("_ord._tok").alias("_t"))
+    cand = (cand
+            .join(toks_of.filter(F.col("_side") == 0)
+                  .select(F.col("_id").alias("_lid"), F.col("_t").alias("_ltoks")),
+                  "_lid")
+            .join(toks_of.filter(F.col("_side") == 1)
+                  .select(F.col("_id").alias("_rid"), F.col("_t").alias("_rtoks")),
+                  "_rid"))
     inter = F.size(F.array_intersect("_ltoks", "_rtoks"))
     union = F.size("_ltoks") + F.size("_rtoks") - inter
     jacc = inter.cast("double") / union

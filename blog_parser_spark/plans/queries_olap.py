@@ -632,3 +632,68 @@ def q_join_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("id_r"),
         F.slice(toks, 1, F.size(toks) - 2).alias("toks_r"))
     return joins.fuzzy_jaccard_join(left, right, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# join_point_in_time — the feature-store lookup: each fact row joins the
+# dimension VERSION that was valid at the fact's timestamp (SCD2
+# intervals from operators/cdc.scd2_intervals, [valid_from, valid_to)
+# in a unique seq space). Spark shape: equi-join on the key with the
+# interval predicate as SMJ residual — never a time-axis cross join;
+# each fact matches exactly one version because the intervals partition
+# the seq axis per key. Dimension = per-customer priority history built
+# from orders (seq = epoch·10^5 + orderkey mod 10^5, unique); facts =
+# lineitems at ship time (end-of-second rule: fact_seq gets the max
+# sub-second rank, so same-timestamp changes are visible).
+# ---------------------------------------------------------------------------
+
+@register("join_point_in_time", """
+WITH changes AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS prio,
+         CAST(epoch(o_orderdate) AS BIGINT) * 100000
+           + o_orderkey % 100000 AS seq
+  FROM orders),
+dim AS (
+  SELECT custkey, prio, seq AS valid_from_seq,
+         lead(seq) OVER (PARTITION BY custkey ORDER BY seq) AS valid_to_seq
+  FROM changes),
+fact AS (
+  SELECT o_custkey AS custkey,
+         CAST(epoch(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) * 100000
+           + 99999 AS fact_seq,
+         CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT prio AS asof_priority, COUNT(*) AS n_lines,
+       CAST(SUM(price) AS DOUBLE) AS revenue
+FROM fact JOIN dim
+  ON fact.custkey = dim.custkey
+ AND fact_seq >= valid_from_seq
+ AND (valid_to_seq IS NULL OR fact_seq < valid_to_seq)
+GROUP BY prio
+""")
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cdc
+    orders = io.read_table(spark, sf_dir, "orders")
+    seq = (F.col("o_orderdate").cast("timestamp").cast("long") * 100000
+           + F.col("o_orderkey") % 100000)
+    changes = orders.select(F.col("o_custkey").alias("custkey"),
+                            F.col("o_orderpriority").alias("prio"),
+                            seq.alias("seq"), F.lit("u").alias("op"))
+    dim = (cdc.scd2_intervals(changes, "custkey")
+           .select("custkey", "prio", "valid_from_seq", "valid_to_seq"))
+    li = io.read_table(spark, sf_dir, "lineitem")
+    fact = (li.join(orders.select("o_orderkey", "o_custkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("o_custkey").alias("fcustkey"),
+                    (F.col("l_shipdate").cast("timestamp").cast("long")
+                     * 100000 + 99999).alias("fact_seq"),
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    .alias("price")))
+    joined = fact.join(
+        dim, (F.col("fcustkey") == F.col("custkey"))
+        & (F.col("fact_seq") >= F.col("valid_from_seq"))
+        & (F.col("valid_to_seq").isNull()
+           | (F.col("fact_seq") < F.col("valid_to_seq"))))
+    return (joined.groupBy(F.col("prio").alias("asof_priority"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum("price").cast("double").alias("revenue")))

@@ -313,10 +313,14 @@ def write_zorder_layout(df: DataFrame, out_dir: str, zcols: list[str],
            else F.col(c).cast("double") for c in zcols]
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     proj = df.select(*[e.alias(f"x{i}") for i, e in enumerate(num)])
+    # ONE sketch pass for every z column (approxQuantile takes a column
+    # list) — the sampling scan is the only full-data read before the
+    # range shuffle, so don't pay it per column
+    all_bnds = proj.stat.approxQuantile([f"x{i}" for i in range(n)],
+                                        probs, 1.0 / (4 << bits))
     quant = []
     for i in range(n):
-        bnds = proj.stat.approxQuantile(f"x{i}", probs, 1.0 / (4 << bits))
-        uniq = sorted(set(b for b in bnds if b is not None))
+        uniq = sorted(set(b for b in all_bnds[i] if b is not None))
         if not uniq:  # all-null column: constant z contribution
             quant.append(F.lit(0).cast("bigint"))
             continue

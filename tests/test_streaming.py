@@ -444,3 +444,85 @@ def test_anomaly_zscore_stream_matches_prequential_batch(spark, tmp_path):
             assert z_g is not None and abs(z_g - z_e) < 1e-9, k
             n_scored += 1
     assert n_scored > 100  # the parity isn't vacuous
+
+
+def test_anomaly_zscore_stream_kill_resume(spark, tmp_path):
+    """Anomaly state (sum/sumsq/n per event_type) must survive a
+    kill/resume: run 1 scores the first half of the day-aligned slices
+    and terminates; the rest arrives; run 2 resumes from the SAME
+    checkpoint. The union of emitted rows must equal the one-shot
+    prequential batch formulation — possible only if run-1 state
+    (and its scored hours) carried over."""
+    import os
+    import shutil
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    ev = io.read_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_days = (hi - lo).days + 1
+    cuts = [0, span_days // 4, span_days // 2, 3 * span_days // 4,
+            span_days + 1]
+    day = F.datediff(F.col("ts").cast("date"), F.lit(lo.date().isoformat()))
+    # deterministic slice names: part-file UUIDs sort randomly, and the
+    # prequential semantics need chronological arrival
+    for i in range(4):
+        part_dir = str(tmp_path / f"part{i}")
+        (ev.filter((day >= cuts[i]) & (day < cuts[i + 1])).coalesce(1)
+         .write.mode("overwrite").parquet(part_dir))
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(part_dir, part),
+                    os.path.join(src, f"slice{i}.parquet"))
+    files = [f"slice{i}.parquet" for i in range(4)]
+
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "scores")
+
+    def run():
+        stream_ev = (spark.readStream.schema(_EV_SCHEMA)
+                     .option("maxFilesPerTrigger", 1).parquet(live))
+        q = (stream.anomaly_zscore_stream(stream_ev)
+             .writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _await(q)
+
+    # chronological arrival order so the prequential semantics are
+    # defined; the file source orders pending files by mtime, so pin
+    # strictly increasing mtimes rather than rely on copy timing
+    def land(i):
+        dst = os.path.join(live, files[i])
+        shutil.copy(os.path.join(src, files[i]), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    land(0)
+    land(1)
+    run()
+    land(2)
+    land(3)
+    run()
+
+    got = {(r["event_type"], r["hr"]): (r["cnt"], r["zscore"])
+           for r in spark.read.parquet(out).collect()}
+    hourly = (ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    s = F.sum("cnt").over(w).cast("double")
+    sq = F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    var = (sq - s * s / n) / (n - 1)
+    z = F.when((n >= 2) & (var > 0),
+               F.round((F.col("cnt") - s / n) / F.sqrt(var), 6))
+    exp = {(r["event_type"], r["hr"]): (r["cnt"], r["z"]) for r in
+           hourly.select("event_type", "hr", "cnt", z.alias("z")).collect()}
+    assert set(got) == set(exp)
+    for k, (cnt_g, z_g) in got.items():
+        cnt_e, z_e = exp[k]
+        assert cnt_g == cnt_e, k
+        if z_e is None:
+            assert z_g is None, k
+        else:
+            assert z_g is not None and abs(z_g - z_e) < 1e-9, k

@@ -99,6 +99,12 @@ def main() -> None:
             qs["agg_ohlc_resample"](spark, SF_DIR),
         "url_canonicalize (map-only narrow plan — no shuffle)":
             qs["url_canonicalize"](spark, SF_DIR),
+        "join_fuzzy_jaccard (prefix-token candidates carry ids only; "
+        "token arrays re-attach per deduped pair)":
+            qs["join_fuzzy_jaccard"](spark, SF_DIR),
+        "join_point_in_time (SCD2 interval lookup — equi join on key, "
+        "interval as SMJ residual, no time-axis blowup)":
+            qs["join_point_in_time"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
