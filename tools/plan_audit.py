@@ -105,6 +105,12 @@ def main() -> None:
         "join_point_in_time (SCD2 interval lookup — equi join on key, "
         "interval as SMJ residual, no time-axis blowup)":
             qs["join_point_in_time"](spark, SF_DIR),
+        "search_bm25_topk (query-term filter BEFORE any shuffle; corpus "
+        "stats broadcast one-row)":
+            qs["search_bm25_topk"](spark, SF_DIR),
+        "filter_domain_blocklist (suffix-chain explode -> broadcast semi "
+        "-> anti on page key; no LIKE cross join)":
+            qs["filter_domain_blocklist"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
