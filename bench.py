@@ -169,6 +169,14 @@ def main() -> None:
      .write.mode("overwrite").format("noop").save())
     timings["curation_100k"] = time.time() - t0
 
+    # ranked retrieval at 100k docs: BM25 end-to-end (tf explode filtered
+    # to query terms pre-shuffle, broadcast corpus stats, fold-sum top-k)
+    from blog_parser_spark.operators import search as search_ops
+    t0 = time.time()
+    (search_ops.bm25_topk(nd, ["spark", "query", "hash", "scan"], k=10)
+     .write.mode("overwrite").format("noop").save())
+    timings["bm25_topk_100k"] = time.time() - t0
+
     user1, steal1 = _cpu_ticks()
     flagship = timings["flagship_e2e"]
     print(json.dumps({

@@ -78,3 +78,27 @@ def sample_stratified_topn(df: DataFrame, group_col: str, key_col: str,
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n_per_group).drop("_rn"))
+
+
+def split_assign(df: DataFrame, key_col: str,
+                 cuts: list[tuple[str, int]], last: str,
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic multi-way split by hash of key_col: cuts is an
+    ascending list of (name, upper_ppm) — a row whose hash (ppm space)
+    falls below the first upper bound gets that name; the remainder
+    gets `last`. Scan + projection only, no shuffle, retry-stable.
+
+    LEAKAGE NOTE: for train/val/test splits of a corpus with near
+    duplicates, key_col must be the near-dup CLUSTER id (component),
+    not the document id — hashing the component puts every member of a
+    near-dup cluster in the SAME split, so a test document can never
+    have a training-set twin. See training_data_leakage_safe_split."""
+    bounds = [ppm for _, ppm in cuts]
+    if bounds != sorted(bounds) or any(
+            not 0 <= p <= HASH_MOD for p in bounds):
+        raise ValueError(f"cuts must ascend within [0, {HASH_MOD}]: {cuts}")
+    h = F.pmod(row_hash(F.col(key_col).cast("string")), F.lit(HASH_MOD))
+    expr = F.lit(last)
+    for name, ppm in reversed(cuts):
+        expr = F.when(h < ppm, name).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -670,3 +670,45 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", k.alias("k"),
         F.when(k >= 50, "hi").otherwise("lo").alias("k_band"))
+
+
+@register("training_data_leakage_safe_split", f"""
+WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM corpus),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+         FROM reach GROUP BY node)
+SELECT doc_id, component,
+       CASE WHEN h < 800000 THEN 'train'
+            WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, component,
+        CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))
+             AS BIGINT) % 1000000 AS h
+      FROM comp)
+""")
+def q_training_data_leakage_safe_split(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup clusters (MinHash-LSH
+    -> exact-Jaccard -> connected components) are hashed by COMPONENT id,
+    so every member of a cluster lands in the same split — a test doc can
+    never have a training-set near-twin. 80/10/10 by deterministic hash;
+    splits nest/stay stable as the corpus grows because the hash is a
+    pure function of the cluster label (min doc_id)."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dedup.near_dup_pairs_minhash(corpus, threshold=0.6)
+    comp = dedup.connected_components(corpus, pairs)
+    return sampling.split_assign(
+        comp, "component", [("train", 800_000), ("val", 900_000)], "test"
+    ).select("doc_id", "component", "split")

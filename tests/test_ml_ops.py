@@ -336,3 +336,50 @@ def test_unigram_logprob_matches_reference_and_is_deterministic(spark):
     again = {r.doc_id: r.neg_mean_logprob for r in
              textstats.unigram_logprob(docs.repartition(7)).collect()}
     assert again == {d: out[d].neg_mean_logprob for d in out}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster must land wholly in ONE split: the planted
+    perturbed docs (doc_id < 50 vs doc_id + 1_000_000) are near-dups of
+    their originals, so each pair must share a split; and the split
+    column must be a pure function of the component."""
+    from blog_parser_spark.operators import sampling
+    corpus = _near_corpus(spark, SF_DIR)
+    pairs = dedup.near_dup_pairs_minhash(corpus, threshold=0.6)
+    comp = dedup.connected_components(corpus, pairs)
+    out = sampling.split_assign(
+        comp, "component", [("train", 800_000), ("val", 900_000)], "test")
+    rows = out.collect()
+    by_comp = {}
+    by_doc = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+        by_doc[r["doc_id"]] = r["split"]
+    assert all(len(s) == 1 for s in by_comp.values())
+    comp_of = {r["doc_id"]: r["component"] for r in rows}
+    # short docs can fall under the 0.6 threshold when every 10th word is
+    # dropped — those are legitimately separate clusters. The leakage
+    # property is over pairs that DID cluster: they must share a split.
+    clustered = [(d, d + 1_000_000) for d in range(50)
+                 if comp_of.get(d) == comp_of.get(d + 1_000_000)
+                 and d + 1_000_000 in comp_of]
+    assert len(clustered) > 30  # the perturbation actually clustered
+    assert all(by_doc[a] == by_doc[b] for a, b in clustered)
+    # all three splits are populated and the ratio is plausible
+    from collections import Counter
+    c = Counter(by_doc.values())
+    assert set(c) == {"train", "val", "test"} and c["train"] > c["val"]
+
+
+def test_split_assign_validates_and_nests(spark):
+    from blog_parser_spark.operators import sampling
+    import pytest as _pytest
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    with _pytest.raises(ValueError):
+        sampling.split_assign(df, "k", [("a", 900_000), ("b", 100_000)], "c")
+    s1 = {r["k"]: r["split"] for r in sampling.split_assign(
+        df, "k", [("train", 500_000)], "rest").collect()}
+    s2 = {r["k"]: r["split"] for r in sampling.split_assign(
+        df, "k", [("train", 700_000)], "rest").collect()}
+    # widening the train cut only PROMOTES rows into train (nesting)
+    assert all(s2[k] == "train" for k, v in s1.items() if v == "train")
