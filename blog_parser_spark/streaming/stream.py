@@ -433,3 +433,85 @@ def anomaly_zscore_stream(events: DataFrame) -> DataFrame:
     return (events.groupBy("event_type")
             .applyInPandasWithState(fn, out_schema, state_schema, "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def read_inverted_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Queryable view of the maintained index: per-term df/total_tf are
+    REBUILT from the postings structs (the idempotent source of truth),
+    postings surfaced as sorted doc_id arrays."""
+    idx = spark.read.parquet(index_dir)
+    return idx.select(
+        "term",
+        F.size("postings").alias("df"),
+        F.aggregate("postings", F.lit(0).cast("bigint"),
+                    lambda acc, p: acc + p["tf"]).alias("total_tf"),
+        F.transform(F.sort_array("postings"),
+                    lambda p: p["doc_id"]).alias("postings"))
+
+
+def start_inverted_index(docs: DataFrame, index_dir: str, checkpoint: str,
+                         n_buckets: int = 16,
+                         available_now: bool = True) -> StreamingQuery:
+    """Streaming inverted-index maintenance — the incremental build a
+    search/retrieval corpus runs as new crawl batches land: each
+    micro-batch of (doc_id, text) folds its postings into a persisted
+    index partitioned by term hash bucket.
+
+    Replay-idempotent by representation, not by luck: the persisted
+    value per term is the postings SET (array of (doc_id, tf) structs,
+    deduped on merge), and df/total_tf are derived from it at read time
+    (read_inverted_index). A checkpoint-replayed micro-batch re-merges
+    the same (doc_id, tf) structs and array_distinct collapses them —
+    additive counters would double-count on replay, sets cannot.
+
+    Partition-pruned rewrite, same protocol as start_cdc_snapshot: a
+    batch touches only the term-hash buckets its vocabulary lands in;
+    old state is read WITH the bucket IN-list (partition pruning at the
+    scan) and only those partitions are dynamically overwritten. The
+    touched-bucket collect() is bounded by n_buckets. The plain-parquet
+    mid-write-kill caveat from start_cdc_snapshot applies unchanged."""
+    from ..operators.search import _words
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        delta = (batch_df
+                 .select("doc_id", F.explode(_words()).alias("term"))
+                 .groupBy("term", "doc_id")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+                 .groupBy("term")
+                 .agg(F.collect_list(F.struct("doc_id", "tf"))
+                      .alias("postings"))
+                 .withColumn("_bucket",
+                             F.pmod(F.xxhash64(F.col("term")),
+                                    F.lit(n_buckets)).cast("int")))
+        delta = delta.localCheckpoint(eager=True)
+        touched = sorted(r[0] for r in
+                         delta.select("_bucket").distinct().collect())
+        if not touched:
+            return
+        has_state = os.path.isdir(index_dir) and any(
+            e.startswith("_bucket=") for e in os.listdir(index_dir))
+        parts = [delta]
+        if has_state:
+            parts.append(sp.read.parquet(index_dir)
+                         .filter(F.col("_bucket").isin(touched))
+                         .select("term", "postings", "_bucket")
+                         .localCheckpoint(eager=True))
+        merged = (parts[0] if len(parts) == 1
+                  else parts[0].unionByName(parts[1]))
+        merged = (merged.groupBy("term", "_bucket")
+                  .agg(F.array_distinct(
+                      F.flatten(F.collect_list("postings")))
+                      .alias("postings")))
+        (merged.repartition("_bucket")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_bucket")
+         .parquet(index_dir))
+
+    w = (docs.writeStream
+         .foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

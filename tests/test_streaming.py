@@ -526,3 +526,51 @@ def test_anomaly_zscore_stream_kill_resume(spark, tmp_path):
             assert z_g is None, k
         else:
             assert z_g is not None and abs(z_g - z_e) < 1e-9, k
+
+
+def test_inverted_index_maintenance_matches_batch_and_is_replay_safe(
+        spark, tmp_path):
+    """Incremental index over 3 micro-batches must equal the one-shot
+    batch inverted_index; and a FULL replay (same files, fresh
+    checkpoint, same index dir) must leave the index unchanged — the
+    postings-set representation makes the merge idempotent."""
+    import os
+    import shutil
+    from blog_parser_spark.operators import search
+
+    docs = (io.read_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text"))
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for i in range(3):
+        part_dir = str(tmp_path / f"p{i}")
+        (docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1)
+         .write.mode("overwrite").parquet(part_dir))
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(part_dir, part),
+                    os.path.join(src, f"slice{i}.parquet"))
+
+    index_dir = str(tmp_path / "index")
+
+    def run(ckpt):
+        sdocs = (spark.readStream.schema("doc_id bigint, text string")
+                 .option("maxFilesPerTrigger", 1).parquet(src))
+        _await(stream.start_inverted_index(
+            sdocs, index_dir, str(tmp_path / ckpt)))
+
+    run("ck1")
+
+    def snapshot():
+        return {r["term"]: (r["df"], r["total_tf"], r["postings"])
+                for r in stream.read_inverted_index(
+                    spark, index_dir).collect()}
+
+    got = snapshot()
+    exp = {r["term"]: (r["df"], r["total_tf"], r["postings"])
+           for r in search.inverted_index(docs, min_df=1).collect()}
+    assert got == exp and len(got) > 20
+
+    # full replay with a fresh checkpoint re-merges every batch into the
+    # EXISTING index — the set representation must absorb it
+    run("ck2")
+    assert snapshot() == exp
