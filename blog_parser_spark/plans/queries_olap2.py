@@ -411,3 +411,58 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("s_suppkey") == F.col("l_suppkey"))
             .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.desc("numwait"), "s_name").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# tpch_q20_excess_shippers — the nested IN/semi-join chain (suppliers
+# whose 1996 shipments of 'red' parts exceed 16% of their shipments of
+# all parts): supplier ⟕semi (per-supplier agg HAVING a cross-aggregate
+# predicate). Completes TPC-H shape coverage q1–q22 (q20 adapted like
+# q9/q11 — no partsupp, demand measured from lineitem itself; the
+# nested-aggregate semi-join shape is unchanged). Both aggregates land
+# in ONE pass over the filtered fact (conditional decimal sums), so the
+# "subquery inside the subquery" costs one shuffle, not two scans.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q20_excess_shippers", """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey,
+           CAST(SUM(CASE WHEN p_partkey IS NOT NULL
+                    THEN CAST(l_quantity AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS red_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS all_qty
+    FROM lineitem
+    LEFT JOIN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') p
+      ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey)
+  WHERE red_qty > 0.16 * all_qty)
+ORDER BY s_suppkey
+""")
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (io.read_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))))
+    red = (io.read_table(spark, sf_dir, "part")
+           .filter(F.col("p_name").contains("red")).select("p_partkey"))
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    per_supp = (li.join(F.broadcast(red),
+                        F.col("p_partkey") == F.col("l_partkey"), "left")
+                .groupBy("l_suppkey")
+                .agg(F.sum(F.when(F.col("p_partkey").isNotNull(), qty)
+                           .otherwise(zero)).cast("double").alias("red_qty"),
+                     F.sum(qty).cast("double").alias("all_qty")))
+    excess = (per_supp
+              .filter(F.col("red_qty") > F.lit(0.16) * F.col("all_qty"))
+              .select("l_suppkey"))
+    supp = io.read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (supp.join(excess, F.col("l_suppkey") == F.col("s_suppkey"),
+                      "left_semi")
+            .orderBy("s_suppkey"))
