@@ -75,3 +75,43 @@ def test_vacuum_drops_old_versions_keeps_current(spark, tmp_path):
     assert _ids(V.read_version(spark, root)) == [200, 201, 202]
     # vacuum again is a no-op (idempotent; truncated parent chain is fine)
     assert V.vacuum(root, keep_versions=1) == []
+
+
+def test_diff_versions_append_fast_path_and_overwrite_compare(spark, tmp_path):
+    """CDF between versions: an append chain diffs by reading ONLY the
+    new data dirs (verified by content); an overwrite in the chain
+    falls back to the key-joined compare and classifies
+    insert/delete/update with pre+post images."""
+    from pyspark.sql import Row, functions as F
+    root = str(tmp_path / "t")
+    v1 = V.commit(spark.createDataFrame(
+        [Row(k=1, val="a"), Row(k=2, val="b")]), root)
+    v2 = V.commit(spark.createDataFrame(
+        [Row(k=3, val="c")]), root, mode="append")
+
+    d12 = V.diff_versions(spark, root, v1, v2, ["k"]).collect()
+    assert [(r["k"], r["val"], r["_change_type"]) for r in d12] \
+        == [(3, "c", "insert")]
+
+    # overwrite: k=1 kept, k=2 changed, k=3 dropped, k=4 new
+    v3 = V.commit(spark.createDataFrame(
+        [Row(k=1, val="a"), Row(k=2, val="B"), Row(k=4, val="d")]),
+        root, mode="overwrite")
+    d23 = {(r["k"], r["_change_type"]): r["val"] for r in
+           V.diff_versions(spark, root, v2, v3, ["k"]).collect()}
+    assert d23 == {(4, "insert"): "d", (3, "delete"): "c",
+                   (2, "update_preimage"): "b",
+                   (2, "update_postimage"): "B"}
+    # unchanged k=1 emits nothing
+    assert not any(k == 1 for k, _ in d23)
+
+    # same-version diff on the append path is empty
+    assert V.diff_versions(spark, root, v1, v1, ["k"]).count() == 0
+
+    # duplicate keys make the compare path refuse
+    V.commit(spark.createDataFrame(
+        [Row(k=9, val="x"), Row(k=9, val="y")]), root, mode="overwrite")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        V.diff_versions(spark, root, v3,
+                                V.current_version(root), ["k"])
