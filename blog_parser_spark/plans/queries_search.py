@@ -124,3 +124,102 @@ def q_filter_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         io.synth_pages(spark, sf_dir).select("url")).select("url", "domain")
     block = spark.createDataFrame([(b,) for b in _BLOCKED], "blocked string")
     return search.blocklist_filter(pages, block)
+
+
+# ---------------------------------------------------------------------------
+# text_pmi_bigrams — corpus collocation mining: pointwise mutual
+# information of adjacent word pairs. All counts are integer-exact
+# (bigram count, unigram counts, total bigrams); the only float work is
+# one ln on an integer-derived ratio, round(12) both engines. The
+# unigram side is a broadcast join (vocab ≪ corpus); min-count filter
+# prunes the bigram tail BEFORE the joins.
+# ---------------------------------------------------------------------------
+
+@register("text_pmi_bigrams", f"""
+WITH words AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+bigrams AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM (
+    SELECT unnest(list_transform(range(len(ws) - 1),
+                                 i -> struct_pack(w1 := ws[i+1],
+                                                  w2 := ws[i+2]))) AS bg
+    FROM words WHERE len(ws) >= 2)
+    , LATERAL (SELECT bg.w1 AS w1, bg.w2 AS w2)
+  GROUP BY w1, w2 HAVING COUNT(*) >= 20),
+uni AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT unnest(ws) AS term FROM words) GROUP BY term),
+tot AS (SELECT SUM(c_ab) AS n_bi FROM (
+  SELECT COUNT(*) AS c_ab FROM (
+    SELECT unnest(list_transform(range(len(ws) - 1),
+                                 i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+    FROM words WHERE len(ws) >= 2) GROUP BY bg))
+SELECT w1, w2, c_ab,
+       round(ln(CAST(n_bi * c_ab AS DOUBLE)
+                / CAST(ua.c * ub.c AS DOUBLE)), 12) AS pmi
+FROM bigrams JOIN uni ua ON ua.term = w1
+             JOIN uni ub ON ub.term = w2, tot
+ORDER BY pmi DESC, w1, w2 LIMIT 25
+""")
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    bg = F.transform(F.sequence(F.lit(0), F.size(ws) - 2),
+                     lambda i: F.struct(F.element_at(ws, i + 1).alias("w1"),
+                                        F.element_at(ws, i + 2).alias("w2")))
+    pairs = (docs.filter(F.size(ws) >= 2)
+             .select(F.explode(bg).alias("bg"))
+             .select("bg.w1", "bg.w2"))
+    bigrams = (pairs.groupBy("w1", "w2")
+               .agg(F.count(F.lit(1)).alias("c_ab"))
+               .filter(F.col("c_ab") >= 20))
+    uni = (docs.select(F.explode(ws).alias("term"))
+           .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+    tot = pairs.agg(F.count(F.lit(1)).alias("n_bi"))
+    ua = uni.select(F.col("term").alias("_t1"), F.col("c").alias("_c1"))
+    ub = uni.select(F.col("term").alias("_t2"), F.col("c").alias("_c2"))
+    pmi = F.round(F.log((F.col("n_bi") * F.col("c_ab")).cast("double")
+                        / (F.col("_c1") * F.col("_c2")).cast("double")), 12)
+    return (bigrams
+            .join(F.broadcast(ua), F.col("w1") == F.col("_t1"))
+            .join(F.broadcast(ub), F.col("w2") == F.col("_t2"))
+            .join(F.broadcast(tot))
+            .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2").limit(25))
+
+
+# ---------------------------------------------------------------------------
+# agg_embedding_centroid — per-label mean vector over the embeddings
+# table (the class-prototype computation every labeled-embedding store
+# runs). posexplode gives (label, dim, value); per cell the sum folds
+# LEFT over vec_id-sorted values so both engines add the same doubles
+# in the same order (bit-identical; same convention as the ANN/BM25
+# oracles). The ordered fold needs the cell's values collected — fine
+# at per-(label, dim) group sizes; the 100 TB variant swaps the fold
+# for decimal partial sums (order-free) and accepts quantization at
+# ingest, as documented in operators/similarity.py's Lloyd step.
+# ---------------------------------------------------------------------------
+
+@register("agg_embedding_centroid", """
+SELECT label, dim,
+       list_reduce(list(v ORDER BY vec_id), (a, b) -> a + b)
+         / n AS centroid
+FROM (
+  SELECT label, vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v,
+         COUNT(*) OVER (PARTITION BY label) / 64 AS n
+  FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i))
+GROUP BY label, dim, n
+""")
+def q_agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    cell = (emb.select(
+        "label", "vec_id",
+        F.posexplode(F.transform("embedding",
+                                 lambda x: x.cast("double")))
+        .alias("dim", "v")))
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("vec_id", "v"))),
+        F.lit(0.0).cast("double"), lambda acc, s: acc + s["v"])
+    return (cell.groupBy("label", "dim")
+            .agg((fold / F.count(F.lit(1))).alias("centroid"))
+            .select("label", F.col("dim").cast("long").alias("dim"),
+                    "centroid"))
