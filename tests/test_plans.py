@@ -179,3 +179,34 @@ def test_bloom_prefilter_join_exact_and_prefilters(spark):
     import pytest
     with pytest.raises(ValueError, match="inner/semi"):
         joins.bloom_prefiltered_join(li, orders, "l_orderkey", how="left")
+
+
+def test_bm25_term_filter_precedes_first_shuffle(spark):
+    """BM25's query-term IN-list must run between the explode and the
+    partial aggregate — i.e. BEFORE the first Exchange — so the tf
+    shuffle carries only query-matching rows, never the vocabulary."""
+    from blog_parser_spark.operators import search
+    docs = io.read_table(spark, SF_DIR, "documents")
+    plan = _plan(search.bm25_topk(docs, ["spark", "query"], k=5))
+    # in the formatted plan, operators print leaf-last: the matched-tf
+    # branch must show Exchange above a Filter mentioning the terms,
+    # with the Generate (explode) below that Filter
+    m = re.search(
+        r"Exchange[^\n]*\n(?:[^\n]*\n)*?[^\n]*Filter[^\n]*\n"
+        r"(?:[^\n]*\n)*?[^\n]*Generate", plan)
+    assert m is not None
+    # and no cartesian/BNL other than the two one-row stat broadcasts
+    assert _nodes(plan).count("CartesianProduct") == 0
+
+
+def test_blocklist_filter_no_like_cross_join(spark):
+    """The suffix-chain formulation must plan as hash joins (semi+anti),
+    never a nested-loop LIKE scan."""
+    from pyspark.sql import Row
+    from blog_parser_spark.operators import search
+    pages = io.synth_pages(spark, SF_DIR).select("url").withColumn(
+        "domain", F.split("url", "/")[2])
+    block = spark.createDataFrame([Row(blocked="src3.example.com")])
+    nodes = _nodes(_plan(search.blocklist_filter(pages, block)))
+    assert "BroadcastNestedLoopJoin" not in nodes
+    assert "CartesianProduct" not in nodes
