@@ -223,3 +223,32 @@ def q_agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((fold / F.count(F.lit(1))).alias("centroid"))
             .select("label", F.col("dim").cast("long").alias("dim"),
                     "centroid"))
+
+
+# ---------------------------------------------------------------------------
+# crawl_frontier_schedule — politeness scheduling for a fetch frontier:
+# each host's URLs are assigned to consecutive fetch rounds (one URL per
+# host per round) in a deterministic hash order, so any round's
+# worklist hits every host at most once. One shuffle (hash by domain),
+# a per-host window numbering — no global sort; rounds come out
+# balanced because hosts are numbered independently. Tie-break: the
+# url hash is unique per host (md5 of the full url).
+# ---------------------------------------------------------------------------
+
+@register("crawl_frontier_schedule", """
+WITH urls AS (
+  SELECT 'https://' || source || '.example.com/post/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         source || '.example.com' AS domain
+  FROM documents)
+SELECT url, domain,
+       row_number() OVER (PARTITION BY domain ORDER BY md5(url))
+         AS fetch_round
+FROM urls
+""")
+def q_crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = enrich.with_domain(
+        io.synth_pages(spark, sf_dir).select("url")).select("url", "domain")
+    from pyspark.sql import Window
+    w = Window.partitionBy("domain").orderBy(F.md5(F.col("url").cast("binary")))
+    return pages.withColumn("fetch_round", F.row_number().over(w))
