@@ -252,3 +252,64 @@ def q_crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     w = Window.partitionBy("domain").orderBy(F.md5(F.col("url").cast("binary")))
     return pages.withColumn("fetch_round", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# search_sentences_bm25 — the reference's literal use case end-to-end:
+# parse html → sentence index → ranked retrieval. Sentences come out of
+# the SAME fused parse UDF the flagship uses (one Python stage); each
+# sentence becomes a retrieval unit keyed url#para_idx and the BM25
+# ranking runs over the sentence corpus. A user of the reference's
+# sentence index switches to this one query. The oracle reproduces the
+# sentence extraction (PAGES_SQL, byte-identical by the parse spec) and
+# the full BM25 arithmetic.
+# ---------------------------------------------------------------------------
+
+from .queries import PAGES_SQL as _PAGES_SQL  # noqa: E402
+
+_SENT_TERMS = ["spark", "query", "hash", "scan"]
+_SENT_TERMS_SQL = ", ".join(f"'{t}'" for t in _SENT_TERMS)
+
+@register("search_sentences_bm25", _PAGES_SQL + f"""
+, sent AS (
+  SELECT url || '#' || CAST(i AS VARCHAR) AS doc_id,
+         array_to_string(string_split(text,' ')[17 + 40*i : 16 + 40*(i+1)],
+                         ' ') AS text
+  FROM (SELECT url, text, unnest(range(k)) AS i
+        FROM routed_sink WHERE k > 0)),
+words AS (SELECT doc_id, {_TOKENS} AS ws FROM sent),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM words),
+dl AS (SELECT doc_id, len(ws) AS dl FROM words),
+matched AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM words)
+  WHERE term IN ({_SENT_TERMS_SQL})
+  GROUP BY doc_id, term),
+dft AS (SELECT term, COUNT(*) AS df FROM matched GROUP BY term),
+idf AS (
+  SELECT term,
+         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 12) AS idf
+  FROM dft, stats),
+contrib AS (
+  SELECT m.doc_id, m.term,
+         round(idf * CAST(tf AS DOUBLE) * (1.2 + 1)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 12) AS w
+  FROM matched m JOIN idf USING (term) JOIN dl USING (doc_id), stats)
+SELECT doc_id,
+       list_reduce(list(w ORDER BY term), (a, b) -> a + b) AS score,
+       COUNT(*) AS n_terms
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def q_search_sentences_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import parse
+    sents = parse.sentences_from_pages(io.synth_pages(spark, sf_dir))
+    units = sents.select(
+        F.concat_ws("#", "url", F.col("para_idx").cast("string"))
+        .alias("doc_id"),
+        F.col("sentence").alias("text"))
+    return search.bm25_topk(units, _SENT_TERMS, k=10)
