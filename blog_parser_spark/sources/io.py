@@ -340,3 +340,34 @@ def write_zorder_layout(df: DataFrame, out_dir: str, zcols: list[str],
        .drop("_z")
        .write.mode(mode).option("parquet.block.size", rowgroup_bytes)
        .parquet(out_dir))
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Landing-zone JSONL reader (the shape crawl dumps and API exports
+    arrive in). Schema is REQUIRED and declared, never inferred — at
+    10^12 rows schema inference is a full extra pass AND a drift
+    hazard. PERMISSIVE mode with a retained `_corrupt` column: a
+    malformed line becomes a row whose data columns are null and whose
+    `_corrupt` holds the raw text, so bad records route to a quarantine
+    sink (failure_split pattern) instead of silently vanishing or
+    killing the job. Split `.filter(c.isNull())` / `.filter(c.isNotNull())`
+    downstream."""
+    full = StructType(schema.fields + [StructField("_corrupt", StringType(), True)])
+    return (spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path))
+
+
+def read_csv_strict(spark: SparkSession, path: str,
+                    schema: StructType, header: bool = True) -> DataFrame:
+    """Landing-zone CSV reader with the same declared-schema + quarantine
+    contract as read_jsonl: PERMISSIVE, corrupt rows retained in
+    `_corrupt` (never DROPMALFORMED — silent row loss is the one
+    unrecoverable failure mode at scale)."""
+    full = StructType(schema.fields + [StructField("_corrupt", StringType(), True)])
+    return (spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .option("header", "true" if header else "false")
+            .csv(path))

@@ -336,3 +336,44 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     want = ev.filter((F.col("value") >= vband[0])
                      & (F.col("value") <= vband[1])).count()
     assert got == want
+
+
+def test_jsonl_and_csv_landing_readers_quarantine_corrupt_rows(spark, tmp_path):
+    """Declared-schema landing readers: clean rows round-trip exactly;
+    a malformed line becomes a quarantine row carrying the raw text in
+    _corrupt — never silently dropped, never a job kill."""
+    import json
+    import os
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    schema = StructType([StructField("doc_id", LongType(), True),
+                         StructField("text", StringType(), True)])
+    rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(10)]
+
+    jdir = str(tmp_path / "j"); os.makedirs(jdir)
+    with open(os.path.join(jdir, "a.jsonl"), "w") as f:
+        for r in rows[:5]:
+            f.write(json.dumps(r) + "\n")
+        f.write('{"doc_id": "NOT A NUMBER, unterminated\n')
+        for r in rows[5:]:
+            f.write(json.dumps(r) + "\n")
+    got = io.read_jsonl(spark, jdir, schema)
+    clean = {r["doc_id"]: r["text"]
+             for r in got.filter("_corrupt IS NULL").collect()}
+    assert clean == {r["doc_id"]: r["text"] for r in rows}
+    bad = got.filter("_corrupt IS NOT NULL").collect()
+    assert len(bad) == 1 and "NOT A NUMBER" in bad[0]["_corrupt"]
+
+    cdir = str(tmp_path / "c"); os.makedirs(cdir)
+    with open(os.path.join(cdir, "a.csv"), "w") as f:
+        f.write("doc_id,text\n")
+        for r in rows[:5]:
+            f.write(f"{r['doc_id']},{r['text']}\n")
+        f.write("not_a_number,too,many,columns,here\n")
+        for r in rows[5:]:
+            f.write(f"{r['doc_id']},{r['text']}\n")
+    gotc = io.read_csv_strict(spark, cdir, schema)
+    cleanc = {r["doc_id"]: r["text"]
+              for r in gotc.filter("_corrupt IS NULL").collect()}
+    assert cleanc == {r["doc_id"]: r["text"] for r in rows}
+    badc = gotc.filter("_corrupt IS NOT NULL").collect()
+    assert len(badc) == 1 and "not_a_number" in badc[0]["_corrupt"]
