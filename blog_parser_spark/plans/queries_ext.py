@@ -76,6 +76,28 @@ def q_agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # aggregation breadth
 # ---------------------------------------------------------------------------
+@register("agg_sliding_window", """
+WITH hops AS (SELECT unnest([0,1,2,3]) AS k)
+SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts) AS TIMESTAMP)
+         - INTERVAL 15 MINUTE * k AS win_start,
+       event_type, COUNT(*) AS events
+FROM events CROSS JOIN hops
+GROUP BY 1, 2
+""")
+def q_agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window, 1h every 15m — the batch dual of
+    stream_sliding. Spark's F.window with a slide explodes each event
+    into its 4 containing windows natively; the oracle rebuilds the same
+    set from first principles (aligned bucket minus k hops). One
+    map-side-combined aggregation; window explosion is a narrow map."""
+    ev = io.read_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("events"))
+            .select(F.col("win.start").alias("win_start"), "event_type",
+                    "events"))
+
+
 
 @register("agg_pivot", """
 SELECT lang,

@@ -697,3 +697,72 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy(F.col("prio").alias("asof_priority"))
             .agg(F.count(F.lit(1)).alias("n_lines"),
                  F.sum("price").cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# parse_grok_logs — the log/telemetry half of the north rule's "grok/regex
+# parse": synthesize Apache-combined-style access-log lines
+# deterministically from events (both engines build byte-identical
+# strings), then parse them BACK with one anchored regex
+# (grok's COMMONAPACHELOG shape) and aggregate per (method, status).
+# The regex runs JVM-side inside whole-stage codegen (regexp_extract),
+# never Python — at 100 TB this is a map-only scan feeding one
+# map-side-combined aggregation, the same shape as the HTML parse
+# flagship but with zero Arrow hops. All outputs are strings/BIGINTs:
+# exact across engines.
+# ---------------------------------------------------------------------------
+
+_GROK_RX = r'^(\S+) - - \[(\d+)\] "(\w+) (\S+) HTTP/1\.1" (\d{3}) (\d+)$'
+
+@register("parse_grok_logs", """
+WITH raw AS (
+  SELECT '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1 - - ['
+         || CAST(CAST(extract(epoch FROM ts) AS BIGINT) AS VARCHAR) || '] "'
+         || CASE event_type WHEN 'view' THEN 'GET' WHEN 'click' THEN 'POST'
+                 WHEN 'purchase' THEN 'PUT' WHEN 'signup' THEN 'POST'
+                 ELSE 'DELETE' END
+         || ' /' || event_type || '/' || CAST(event_id % 100 AS VARCHAR)
+         || ' HTTP/1.1" '
+         || CASE WHEN event_id % 10 < 7 THEN '200'
+                 WHEN event_id % 10 < 9 THEN '404' ELSE '500' END
+         || ' ' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+           AS line
+  FROM events),
+parsed AS (
+  SELECT regexp_extract(line, '{rx}', 1) AS ip,
+         regexp_extract(line, '{rx}', 3) AS method,
+         regexp_extract(line, '{rx}', 5) AS status,
+         CAST(regexp_extract(line, '{rx}', 6) AS BIGINT) AS n_bytes
+  FROM raw)
+SELECT method, status, COUNT(*) AS requests,
+       SUM(n_bytes) AS total_bytes, COUNT(DISTINCT ip) AS uniq_ips
+FROM parsed GROUP BY method, status
+""".replace("{rx}", _GROK_RX))
+def q_parse_grok_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    method = (F.when(F.col("event_type") == "view", "GET")
+              .when(F.col("event_type") == "click", "POST")
+              .when(F.col("event_type") == "purchase", "PUT")
+              .when(F.col("event_type") == "signup", "POST")
+              .otherwise("DELETE"))
+    status = (F.when(F.col("event_id") % 10 < 7, "200")
+              .when(F.col("event_id") % 10 < 9, "404")
+              .otherwise("500"))
+    line = F.concat(
+        F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1"),
+        F.lit(" - - ["),
+        F.col("ts").cast("timestamp").cast("long").cast("string"),
+        F.lit('] "'), method, F.lit(" /"), F.col("event_type"), F.lit("/"),
+        (F.col("event_id") % 100).cast("string"), F.lit(' HTTP/1.1" '),
+        status, F.lit(" "),
+        F.floor(F.col("value") * 100).cast("string"))
+    raw = ev.select(line.alias("line"))
+    parsed = raw.select(
+        F.regexp_extract("line", _GROK_RX, 1).alias("ip"),
+        F.regexp_extract("line", _GROK_RX, 3).alias("method"),
+        F.regexp_extract("line", _GROK_RX, 5).alias("status"),
+        F.regexp_extract("line", _GROK_RX, 6).cast("long").alias("n_bytes"))
+    return (parsed.groupBy("method", "status")
+            .agg(F.count(F.lit(1)).alias("requests"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.countDistinct("ip").alias("uniq_ips")))

@@ -154,3 +154,20 @@ def test_fuzzy_jaccard_join_hand_cases(spark):
             if inter and inter / (len(lt) + len(rt) - inter) >= 0.7:
                 want.add((i, j))
     assert got == want and len(want) > 50
+
+
+def test_parse_grok_logs_conservation(spark):
+    """Every synthesized log line must round-trip through the grok regex:
+    request/byte totals equal the direct computation over events, i.e. no
+    line is silently dropped or misparsed by the extraction."""
+    from tests.conftest import SF_DIR
+
+    out = queries_olap.q_parse_grok_logs(spark, SF_DIR).collect()
+    assert {r["method"] for r in out} <= {"GET", "POST", "PUT", "DELETE"}
+    assert {r["status"] for r in out} <= {"200", "404", "500"}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100)).alias("b")).first()
+    assert sum(r["requests"] for r in out) == want["n"]
+    assert sum(r["total_bytes"] for r in out) == want["b"]

@@ -210,3 +210,20 @@ def test_blocklist_filter_no_like_cross_join(spark):
     nodes = _nodes(_plan(search.blocklist_filter(pages, block)))
     assert "BroadcastNestedLoopJoin" not in nodes
     assert "CartesianProduct" not in nodes
+
+
+def test_grok_parse_stays_jvm_side(spark):
+    """parse_grok_logs runs the regex in whole-stage codegen: no Python
+    stage, no nested-loop join, and the scan reads only the 4 source
+    columns the line synthesis needs."""
+    from blog_parser_spark.plans import queries_olap
+
+    plan = _plan(queries_olap.q_parse_grok_logs(spark, SF_DIR))
+    nodes = _nodes(plan)
+    assert not any(n in nodes for n in
+                   ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"))
+    assert "BroadcastNestedLoopJoin" not in nodes
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"event_id", "ts", "user_id", "event_type", "value"}

@@ -111,6 +111,8 @@ def main() -> None:
         "filter_domain_blocklist (suffix-chain explode -> broadcast semi "
         "-> anti on page key; no LIKE cross join)":
             qs["filter_domain_blocklist"](spark, SF_DIR),
+        "parse_grok_logs (regexp_extract in codegen — zero Python stages)":
+            qs["parse_grok_logs"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
