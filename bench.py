@@ -177,6 +177,28 @@ def main() -> None:
      .write.mode("overwrite").format("noop").save())
     timings["bm25_topk_100k"] = time.time() - t0
 
+    # grok log-parse throughput at >=1M lines: the log-pipeline tier's own
+    # headline shape — anchored regexp_extract in codegen over materialized
+    # raw lines (synthesis excluded), one map-side-combined aggregation
+    from blog_parser_spark.operators import groklog
+    ev = io.read_table(spark, sf_dir, "events")
+    n_ev = ev.count()
+    grok_rep = max(1, -(-MIN_BENCH_DOCS // n_ev))
+    grok_path = f"/tmp/bench_groklines_sf{sf}_x{grok_rep}.parquet"
+    if not os.path.exists(grok_path):
+        tmp = grok_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (groklog.synth_lines(
+            ev.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(grok_rep - 1))))
+            .withColumn("event_id",
+                        F.col("event_id") + F.col("i") * F.lit(10_000_000)))
+         .repartition(4 * cpus).write.mode("overwrite").parquet(tmp))
+        os.rename(tmp, grok_path)
+    lines = spark.read.parquet(grok_path)
+    n_lines = lines.count()
+    timings["grok_parse_agg_1m"] = _run_warm(
+        groklog.requests_by_method_status(groklog.parse_lines(lines)))
+
     user1, steal1 = _cpu_ticks()
     flagship = timings["flagship_e2e"]
     print(json.dumps({
@@ -186,6 +208,8 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
         "docs": n_docs,
+        "grok_lines": n_lines,
+        "grok_lines_per_sec": round(n_lines / timings["grok_parse_agg_1m"], 1),
         "docs_per_sec": round(n_docs / flagship, 1),
         "cold_first_run_sec": round(cold, 3),
         "cpus": cpus,

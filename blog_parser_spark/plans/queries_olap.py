@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import graph, urlnorm
+from ..operators import graph, groklog, urlnorm
 from ..sources import io
 from .registry import register
 
@@ -712,8 +712,6 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact across engines.
 # ---------------------------------------------------------------------------
 
-_GROK_RX = r'^(\S+) - - \[(\d+)\] "(\w+) (\S+) HTTP/1\.1" (\d{3}) (\d+)$'
-
 @register("parse_grok_logs", """
 WITH raw AS (
   SELECT '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1 - - ['
@@ -737,32 +735,8 @@ parsed AS (
 SELECT method, status, COUNT(*) AS requests,
        SUM(n_bytes) AS total_bytes, COUNT(DISTINCT ip) AS uniq_ips
 FROM parsed GROUP BY method, status
-""".replace("{rx}", _GROK_RX))
+""".replace("{rx}", groklog.GROK_RX))
 def q_parse_grok_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.read_table(spark, sf_dir, "events")
-    method = (F.when(F.col("event_type") == "view", "GET")
-              .when(F.col("event_type") == "click", "POST")
-              .when(F.col("event_type") == "purchase", "PUT")
-              .when(F.col("event_type") == "signup", "POST")
-              .otherwise("DELETE"))
-    status = (F.when(F.col("event_id") % 10 < 7, "200")
-              .when(F.col("event_id") % 10 < 9, "404")
-              .otherwise("500"))
-    line = F.concat(
-        F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1"),
-        F.lit(" - - ["),
-        F.col("ts").cast("timestamp").cast("long").cast("string"),
-        F.lit('] "'), method, F.lit(" /"), F.col("event_type"), F.lit("/"),
-        (F.col("event_id") % 100).cast("string"), F.lit(' HTTP/1.1" '),
-        status, F.lit(" "),
-        F.floor(F.col("value") * 100).cast("string"))
-    raw = ev.select(line.alias("line"))
-    parsed = raw.select(
-        F.regexp_extract("line", _GROK_RX, 1).alias("ip"),
-        F.regexp_extract("line", _GROK_RX, 3).alias("method"),
-        F.regexp_extract("line", _GROK_RX, 5).alias("status"),
-        F.regexp_extract("line", _GROK_RX, 6).cast("long").alias("n_bytes"))
-    return (parsed.groupBy("method", "status")
-            .agg(F.count(F.lit(1)).alias("requests"),
-                 F.sum("n_bytes").alias("total_bytes"),
-                 F.countDistinct("ip").alias("uniq_ips")))
+    return groklog.requests_by_method_status(
+        groklog.parse_lines(groklog.synth_lines(ev)))
