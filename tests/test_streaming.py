@@ -574,3 +574,34 @@ def test_inverted_index_maintenance_matches_batch_and_is_replay_safe(
     # EXISTING index — the set representation must absorb it
     run("ck2")
     assert snapshot() == exp
+
+
+def test_grok_parse_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Log lines ARE a stream: the grok parse must run unchanged as a
+    stateless streaming transform (append mode, no state), produce the
+    same parsed rows as the batch path, and resume from checkpoint
+    processing only newly-arrived files."""
+    from blog_parser_spark.operators import groklog
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    ev = io.read_table(spark, SF_DIR, "events")
+    lines = groklog.synth_lines(ev)
+    first = lines.filter(F.crc32("line") % 2 == 0)
+    rest = lines.filter(F.crc32("line") % 2 == 1)
+    first.coalesce(2).write.mode("overwrite").parquet(src)
+
+    def run():
+        raw = (spark.readStream.schema("line string").parquet(src))
+        return (groklog.parse_lines(raw).writeStream
+                .format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    _await(run())
+    rest.coalesce(2).write.mode("append").parquet(src)
+    _await(run())
+
+    got = groklog.requests_by_method_status(spark.read.parquet(out))
+    exp = groklog.requests_by_method_status(
+        groklog.parse_lines(spark.read.parquet(src)))
+    assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
