@@ -106,10 +106,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("tpch_q12_priority_by_flag", """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -733,7 +733,7 @@ parsed AS (
          CAST(regexp_extract(line, '{rx}', 6) AS BIGINT) AS n_bytes
   FROM raw)
 SELECT method, status, COUNT(*) AS requests,
-       SUM(n_bytes) AS total_bytes, COUNT(DISTINCT ip) AS uniq_ips
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, COUNT(DISTINCT ip) AS uniq_ips
 FROM parsed GROUP BY method, status
 """.replace("{rx}", groklog.GROK_RX))
 def q_parse_grok_logs(spark: SparkSession, sf_dir: str) -> DataFrame:

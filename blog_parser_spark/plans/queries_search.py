@@ -31,7 +31,7 @@ WITH dt AS (
   SELECT doc_id, term, COUNT(*) AS tf
   FROM (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents)
   GROUP BY doc_id, term)
-SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf,
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
        list_sort(list(doc_id)) AS postings
 FROM dt GROUP BY term HAVING COUNT(*) >= 50
 """)

@@ -26,29 +26,49 @@ def register(name: str, sql: str | None = None):
 # The driver's correctness gate runs exactly the FIRST 50 registered
 # queries (CORRECTNESS_r0*.json key set == registration order[:50]), so
 # export order is a deliberate choice, not an import-order accident.
-# This window spends every slot on an oracle-bearing headline capability:
-# the parse→enrich→route→aggregate core, every join/agg/window family,
-# the TPC-H composites, and the dedup/ANN/text/sampling/training-data
-# layer. No-oracle rows (agg_approx_*, agg_hll_union) and comparison-only
-# duplicates (join_range_bnl) sort after; everything outside the window
-# is still covered by the identical local gate (tools/check_queries.py).
+# The window ROTATES per round to grow lifetime driver-green coverage:
+# rounds 1-3 spent their slots on the parse→enrich→route→aggregate core,
+# the join/agg/window families, TPC-H q1/q3/q5/q6, and the headline
+# dedup/ANN/training-data queries (all recorded green in
+# CORRECTNESS_r03.json). Round 4 rotates in 50 oracle-bearing queries
+# that have NEVER had a driver row: the remaining TPC-H pack
+# (q2,q4,q7-q22), the retrieval layer, CDC/lakehouse, grok parsing,
+# fuzzy/bloom/PIT joins, the export trio, and the remaining text ops —
+# all already green under the identical local gate
+# (tools/check_queries.py). Rotated-out queries remain covered by that
+# local gate plus their recorded driver history; no-oracle rows
+# (agg_approx_*, agg_hll_union) sort after as ever.
 DRIVER_WINDOW: list[str] = [
-    "agg_sink_counts", "agg_salted", "route_classify", "split_sentences",
-    "sentences_text", "parse_url_domain", "filter_predicate",
-    "failure_split", "join_broadcast_lang", "join_broadcast_domain",
-    "win_dedup_latest", "project_basic", "join_smj", "join_semi",
-    "join_anti", "join_asof", "join_theta_cross", "join_salted",
-    "join_range", "agg_distinct", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_stats", "agg_collect", "agg_minmax_by",
-    "agg_percentile", "win_rank_topdomains", "win_lag_sessions",
-    "win_rolling", "topk_per_group", "agg_tumbling_window",
-    "agg_session_window", "scan_parquet", "flagship_sql",
-    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_components", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "ann_cosine_topk", "text_quality", "text_langid",
-    "sample_deterministic", "training_data_pipeline",
-    "training_data_neardup_removal",
+    # TPC-H pack (18) — q1/q3/q5/q6 were driver-green in r3
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_profit_rollup", "tpch_q10_returned_revenue",
+    "tpch_q11_value_concentration", "tpch_q12_priority_by_flag",
+    "tpch_q13_order_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_excess_shippers",
+    "tpch_q21_only_late_supplier", "tpch_q22_dormant_customers",
+    # retrieval layer (5)
+    "search_inverted_index", "search_bm25_topk", "search_sentences_bm25",
+    "text_tfidf_topterms", "filter_domain_blocklist",
+    # log parsing + CDC/lakehouse (3)
+    "parse_grok_logs", "cdc_apply_changes", "cdc_scd2_intervals",
+    # specialized joins (3)
+    "join_fuzzy_jaccard", "join_bloom_prefilter", "join_point_in_time",
+    # training-data export trio (3)
+    "export_shard_assign", "export_pack_sequences", "export_chunk_overlap",
+    # misc headline (4)
+    "funnel_sequence", "url_canonicalize", "dedup_simhash",
+    "ann_lsh_bucketed",
+    # text ops (10)
+    "text_tokens", "text_fingerprint", "text_segment_dedup",
+    "text_unigram_logprob", "text_repetition", "text_pii_scrub",
+    "text_heavy_hitters", "text_quality_classifier", "text_pmi_bigrams",
+    "decontam_ngram_overlap",
+    # sampling / training-data (4)
+    "sample_stratified", "sample_mixture_weighted",
+    "training_data_leakage_safe_split", "crawl_frontier_schedule",
 ]
 
 
