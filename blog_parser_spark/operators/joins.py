@@ -177,7 +177,11 @@ def fuzzy_jaccard_join(left: DataFrame, right: DataFrame,
               .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok")))
                    .alias("_ord")))
     n = F.size("_ord")
-    plen = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    # epsilon guards the lossless bound: when threshold*n is an exact
+    # integer in real arithmetic, FP rounding can land just ABOVE it and
+    # ceil would overshoot, shortening the prefix by one token (missed
+    # pairs). Erring toward a longer prefix only adds candidates.
+    plen = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
     # prefix rows carry ONLY (id, token): the token arrays would otherwise
     # be replicated once per prefix token through the explode AND the
     # candidate shuffle — at web scale that multiplies shuffle bytes by

@@ -630,7 +630,10 @@ def q_join_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = docs.select(F.col("doc_id").alias("id_l"), toks.alias("toks_l"))
     right = docs.select(
         (F.col("doc_id") + 100000).alias("id_r"),
-        F.slice(toks, 1, F.size(toks) - 2).alias("toks_r"))
+        # clamp: Spark's slice throws on negative length for docs with
+        # <2 tokens (DuckDB's list_slice degrades to empty instead)
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        .alias("toks_r"))
     return joins.fuzzy_jaccard_join(left, right, threshold=0.8)
 
 

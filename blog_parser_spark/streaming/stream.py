@@ -457,12 +457,22 @@ def start_inverted_index(docs: DataFrame, index_dir: str, checkpoint: str,
     micro-batch of (doc_id, text) folds its postings into a persisted
     index partitioned by term hash bucket.
 
-    Replay-idempotent by representation, not by luck: the persisted
-    value per term is the postings SET (array of (doc_id, tf) structs,
-    deduped on merge), and df/total_tf are derived from it at read time
-    (read_inverted_index). A checkpoint-replayed micro-batch re-merges
-    the same (doc_id, tf) structs and array_distinct collapses them —
-    additive counters would double-count on replay, sets cannot.
+    Replay-idempotent AND update-correct by representation: the
+    persisted value per term is a postings MAP keyed by doc_id (stored
+    as an array of (doc_id, tf) structs, collapsed per doc_id on merge
+    with the incoming batch winning), and df/total_tf are derived from
+    it at read time (read_inverted_index). A checkpoint-replayed
+    micro-batch re-merges equal structs to the same result — additive
+    counters would double-count on replay — and a re-crawled document
+    whose text (hence tf) changed REPLACES its posting instead of
+    leaving both structs behind, which a plain struct-set dedup would
+    silently let inflate df/total_tf.
+
+    Contract boundary: replacement is last-write-wins per (term,
+    doc_id). A re-crawled document that DROPPED a term entirely leaves
+    the old (term, doc_id) posting behind — removing it would need a
+    doc→terms reverse index or a full-doc tombstone pass, which this
+    incremental merge deliberately does not do.
 
     Partition-pruned rewrite, same protocol as start_cdc_snapshot: a
     batch touches only the term-hash buckets its vocabulary lands in;
@@ -478,12 +488,10 @@ def start_inverted_index(docs: DataFrame, index_dir: str, checkpoint: str,
                  .select("doc_id", F.explode(_words()).alias("term"))
                  .groupBy("term", "doc_id")
                  .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-                 .groupBy("term")
-                 .agg(F.collect_list(F.struct("doc_id", "tf"))
-                      .alias("postings"))
                  .withColumn("_bucket",
                              F.pmod(F.xxhash64(F.col("term")),
-                                    F.lit(n_buckets)).cast("int")))
+                                    F.lit(n_buckets)).cast("int"))
+                 .withColumn("_src", F.lit(1)))
         delta = delta.localCheckpoint(eager=True)
         touched = sorted(r[0] for r in
                          delta.select("_bucket").distinct().collect())
@@ -495,13 +503,23 @@ def start_inverted_index(docs: DataFrame, index_dir: str, checkpoint: str,
         if has_state:
             parts.append(sp.read.parquet(index_dir)
                          .filter(F.col("_bucket").isin(touched))
-                         .select("term", "postings", "_bucket")
+                         .select("term", F.explode("postings").alias("_p"),
+                                 "_bucket")
+                         .select("term", F.col("_p.doc_id").alias("doc_id"),
+                                 F.col("_p.tf").alias("tf"), "_bucket")
+                         .withColumn("_src", F.lit(0))
                          .localCheckpoint(eager=True))
         merged = (parts[0] if len(parts) == 1
                   else parts[0].unionByName(parts[1]))
-        merged = (merged.groupBy("term", "_bucket")
-                  .agg(F.array_distinct(
-                      F.flatten(F.collect_list("postings")))
+        # one row per (term, doc_id), batch (_src=1) beating state
+        # (_src=0): replay of an identical batch is a no-op, a changed
+        # document replaces its tf rather than accumulating structs
+        merged = (merged
+                  .groupBy("term", "_bucket", "doc_id")
+                  .agg(F.max(F.struct("_src", "tf")).alias("_m"))
+                  .groupBy("term", "_bucket")
+                  .agg(F.collect_list(
+                      F.struct("doc_id", F.col("_m.tf").alias("tf")))
                       .alias("postings")))
         (merged.repartition("_bucket")
          .write.mode("overwrite")

@@ -156,6 +156,28 @@ def test_fuzzy_jaccard_join_hand_cases(spark):
     assert got == want and len(want) > 50
 
 
+def test_fuzzy_jaccard_prefix_survives_integer_threshold_product(spark):
+    """threshold*n landing on an exact integer (0.8*5=4) is where FP
+    rounding pushes the double product just above the integer and a bare
+    ceil overshoots, shortening the prefix by one token. Constructed
+    miss: y={z,a,b,c,d} with z globally rarest and unique to y — the
+    overshoot prefix {z} shares nothing with x={a,b,c,d}'s prefix {a},
+    so the jacc=0.8 pair vanishes; the epsilon-guarded prefix {z,a}
+    keeps it."""
+    from blog_parser_spark.operators import joins
+    left = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]),
+         (2, ["b", "c", "d"]),      # fillers push df(b,c,d) above df(a)
+         (3, ["b", "c", "d"])],
+        "id_l long, toks_l array<string>")
+    right = spark.createDataFrame(
+        [(10, ["z", "a", "b", "c", "d"])],
+        "id_r long, toks_r array<string>")
+    got = {(r["id_l"], r["id_r"]): r["jacc"]
+           for r in joins.fuzzy_jaccard_join(left, right, 0.8).collect()}
+    assert got == {(1, 10): 0.8}
+
+
 def test_parse_grok_logs_conservation(spark):
     """Every synthesized log line must round-trip through the grok regex:
     request/byte totals equal the direct computation over events, i.e. no

@@ -576,6 +576,48 @@ def test_inverted_index_maintenance_matches_batch_and_is_replay_safe(
     assert snapshot() == exp
 
 
+def test_inverted_index_recrawl_replaces_tf_instead_of_inflating(
+        spark, tmp_path):
+    """A re-crawled document whose text changed must REPLACE its
+    (term, doc_id) posting — last-write-wins — not leave both the old
+    and new tf structs behind inflating df/total_tf. Re-crawl keeps the
+    same term set (text doubled, so every tf doubles) because dropped
+    terms are outside the merge's documented contract."""
+    import os
+    import shutil
+    from blog_parser_spark.operators import search
+
+    docs = (io.read_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text").filter(F.col("doc_id") < 50))
+    recrawl = (docs.filter(F.col("doc_id") < 10)
+               .select("doc_id",
+                       F.concat("text", F.lit(" "), "text").alias("text")))
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for i, part in enumerate([docs, recrawl]):
+        part_dir = str(tmp_path / f"p{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        f = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice{i}.parquet")
+        shutil.move(os.path.join(part_dir, f), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # pin arrival order
+
+    index_dir = str(tmp_path / "index")
+    sdocs = (spark.readStream.schema("doc_id bigint, text string")
+             .option("maxFilesPerTrigger", 1).parquet(src))
+    _await(stream.start_inverted_index(
+        sdocs, index_dir, str(tmp_path / "ck")))
+
+    got = {r["term"]: (r["df"], r["total_tf"], r["postings"])
+           for r in stream.read_inverted_index(spark, index_dir).collect()}
+    final_docs = (docs.filter(F.col("doc_id") >= 10)
+                  .unionByName(recrawl))
+    exp = {r["term"]: (r["df"], r["total_tf"], r["postings"])
+           for r in search.inverted_index(final_docs, min_df=1).collect()}
+    assert got == exp and len(got) > 20
+
+
 def test_grok_parse_stream_matches_batch_and_resumes(spark, tmp_path):
     """Log lines ARE a stream: the grok parse must run unchanged as a
     stateless streaming transform (append mode, no state), produce the
