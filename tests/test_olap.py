@@ -193,3 +193,30 @@ def test_parse_grok_logs_conservation(spark):
         F.sum(F.floor(F.col("value") * 100)).alias("b")).first()
     assert sum(r["requests"] for r in out) == want["n"]
     assert sum(r["total_bytes"] for r in out) == want["b"]
+
+
+def test_parse_grok_miss_semantics(spark):
+    """The single-pass rewrite must keep regexp_extract's contract on
+    BOTH sides: non-matching lines yield "" for string fields and NULL
+    for numeric ones (not an ANSI cast error), and matching lines with
+    brackets/quotes INSIDE ip or path still extract exactly — the
+    right-anchored token picks cannot be fooled by field contents the
+    way global ']' / '"' searches would be."""
+    from blog_parser_spark.operators import groklog
+
+    rows = [
+        ('1.2.3.4 - - [100] "GET /a/1 HTTP/1.1" 200 42',),   # clean hit
+        ('a[9]b - - [77] "GET /x HTTP/1.1" 200 5',),         # ']' inside ip
+        ('1.2.3.4 - - [88] "PUT /we"ird]x HTTP/1.1" 404 9',),  # '"' in path
+        ("not a log line",),                                  # plain miss
+        ('1.2.3.4 - - [x] "GET /a HTTP/1.1" 200 zz',),       # near miss
+    ]
+    out = groklog.parse_lines(
+        spark.createDataFrame(rows, "line string")).collect()
+    hit, adv1, adv2, miss1, miss2 = out
+    assert tuple(hit) == ("1.2.3.4", 100, "GET", "/a/1", "200", 42)
+    assert tuple(adv1) == ("a[9]b", 77, "GET", "/x", "200", 5)
+    assert tuple(adv2) == ("1.2.3.4", 88, "PUT", '/we"ird]x', "404", 9)
+    for r in (miss1, miss2):
+        assert (r["ip"], r["method"], r["path"], r["status"]) == ("",) * 4
+        assert r["epoch"] is None and r["n_bytes"] is None
