@@ -199,7 +199,23 @@ def main() -> None:
     timings["grok_parse_agg_1m"] = _run_warm(
         groklog.requests_by_method_status(groklog.parse_lines(lines)))
 
+    # VM-speed reference leg: a FIXED pure-JVM workload that no repo code
+    # touches (range -> xxhash64 -> sum; no IO, no Python, no shuffle), so
+    # cross-round readers can separate engine changes from host-speed
+    # drift: engine ratio = leg_sec / vm_reference_sec is comparable
+    # across rounds even when absolute times are not (this VM documents
+    # sessions where steal exceeds user time). Best-of-3 after warmup.
+    def _reference_leg() -> float:
+        df = (spark.range(0, 400_000_000, 1, 4 * cpus)
+              .select(F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("h"))
+              .agg(F.sum("h")))  # pmod keeps the ANSI sum from overflowing
+        _run(df)
+        return min(_run(df) for _ in range(3))
+
+    vm_ref = _reference_leg()
+
     user1, steal1 = _cpu_ticks()
+    steal_ratio = round((steal1 - steal0) / max(user1 - user0, 1), 4)
     flagship = timings["flagship_e2e"]
     print(json.dumps({
         "metric": "flagship parse→enrich→route→aggregate wall-clock",
@@ -215,6 +231,14 @@ def main() -> None:
         "cpus": cpus,
         "vm_user_ticks": user1 - user0,
         "vm_steal_ticks": steal1 - steal0,
+        "vm_steal_user_ratio": steal_ratio,
+        "vm_reference_hash_sec": round(vm_ref, 3),
+        "comparable_to_prior_rounds": steal_ratio < 0.15,
+        "normalization_note": (
+            "absolute times are session-relative on this shared VM; "
+            "compare rounds via leg_sec / vm_reference_hash_sec (a fixed "
+            "pure-JVM workload no repo code touches), and distrust "
+            "absolutes entirely when comparable_to_prior_rounds is false"),
     }))
 
 
