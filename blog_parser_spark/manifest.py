@@ -26,6 +26,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
+from .limits import check_driver_list_bound
 from .plans import pipeline
 
 DEFAULT_BUCKETS = 64
@@ -114,6 +115,7 @@ def run_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
     # config constant, not data volume), so collecting it is O(config);
     # it buys literal IN-filters below that Spark can push into partition
     # pruning — a join never prunes a parquet scan
+    check_driver_list_bound(n_buckets, "n_buckets")
     done_ids = [r["bucket"]
                 for r in completed_buckets(spark, manifest_dir).collect()]
     todo = src.filter(~F.col("bucket").isin(done_ids)) if done_ids else src

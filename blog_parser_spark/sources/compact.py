@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..limits import check_driver_list_bound
+
 
 def partition_file_stats(spark: SparkSession, path: str,
                          partition_cols: list[str]) -> DataFrame:
@@ -53,6 +55,7 @@ def compact_partitions(spark: SparkSession, path: str,
     """
     stats = partition_file_stats(spark, path, partition_cols)
     frag = stats.filter(F.col("n_files") > max_files).collect()
+    check_driver_list_bound(len(frag), "fragmented_partitions")
     if not frag:
         return {"partitions_compacted": 0, "files_before": 0,
                 "rows_rewritten": 0}

@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..limits import check_driver_list_bound
 from ..plans import pipeline
 from ..sources import io
 
@@ -335,6 +336,7 @@ def start_cdc_snapshot(changes: DataFrame, snapshot_dir: str,
     supplies the atomic commit this needs in production. The old state is
     localCheckpoint-materialized before the overwrite so the plan never
     reads the files it is replacing."""
+    check_driver_list_bound(n_buckets, "n_buckets")
     from ..operators import cdc
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -480,6 +482,7 @@ def start_inverted_index(docs: DataFrame, index_dir: str, checkpoint: str,
     scan) and only those partitions are dynamically overwritten. The
     touched-bucket collect() is bounded by n_buckets. The plain-parquet
     mid-write-kill caveat from start_cdc_snapshot applies unchanged."""
+    check_driver_list_bound(n_buckets, "n_buckets")
     from ..operators.search import _words
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
