@@ -199,6 +199,42 @@ def main() -> None:
     timings["grok_parse_agg_1m"] = _run_warm(
         groklog.requests_by_method_status(groklog.parse_lines(lines)))
 
+    # streaming throughput leg: the same grok parse as a Structured
+    # Streaming job — availableNow over the materialized line corpus,
+    # maxFilesPerTrigger forcing ~8 micro-batches, noop streaming sink.
+    # Reported next to the batch leg so the per-micro-batch overhead of
+    # the streaming runtime is a published number, not a guess.
+    import shutil as _sh
+    n_files = len([f for f in os.listdir(grok_path)
+                   if f.endswith(".parquet")])
+    per_trigger = max(1, n_files // 8)
+    ckpt = "/tmp/bench_grok_stream_ck"
+
+    def _run_grok_stream() -> tuple[float, int]:
+        _sh.rmtree(ckpt, ignore_errors=True)
+        sdf = (spark.readStream.schema("line string")
+               .option("maxFilesPerTrigger", per_trigger)
+               .parquet(grok_path))
+        # exact distinct is not streaming-legal; approx_count_distinct
+        # keeps the same shuffle/state shape for the throughput number
+        agg = (groklog.parse_lines(sdf)
+               .groupBy("method", "status")
+               .agg(F.count(F.lit(1)).alias("requests"),
+                    F.sum("n_bytes").alias("total_bytes"),
+                    F.approx_count_distinct("ip").alias("uniq_ips")))
+        q = (agg.writeStream.outputMode("complete").format("noop")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        return wall, batches
+
+    _run_grok_stream()  # warmup (stream codegen + state init)
+    stream_wall, stream_batches = _run_grok_stream()
+    timings["grok_stream_availablenow"] = stream_wall
+
     # VM-speed reference leg: a FIXED pure-JVM workload that no repo code
     # touches (range -> xxhash64 -> sum; no IO, no Python, no shuffle), so
     # cross-round readers can separate engine changes from host-speed
@@ -226,6 +262,10 @@ def main() -> None:
         "docs": n_docs,
         "grok_lines": n_lines,
         "grok_lines_per_sec": round(n_lines / timings["grok_parse_agg_1m"], 1),
+        "grok_stream_batches": stream_batches,
+        "grok_stream_lines_per_sec": round(n_lines / stream_wall, 1),
+        "grok_stream_sec_per_batch": round(
+            stream_wall / max(stream_batches, 1), 3),
         "docs_per_sec": round(n_docs / flagship, 1),
         "cold_first_run_sec": round(cold, 3),
         "cpus": cpus,

@@ -98,6 +98,29 @@ def build_curation_corpus(spark, sf_dir: str, n_docs: int) -> str:
     return path
 
 
+def stage_bytes(spark) -> dict[str, int]:
+    """Cumulative completed-stage IO counters from the Spark REST API —
+    diffed around each phase so every leg reports how many bytes it
+    actually pushed through shuffle write/read and spill. These are the
+    numerators for the disk-ceiling attribution (tools/disk_control.py
+    measures the denominators)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    stages = json.loads(urllib.request.urlopen(url, timeout=30).read())
+    tot = dict.fromkeys(("shuffle_write", "shuffle_read", "disk_spill",
+                         "mem_spill", "input_bytes"), 0)
+    for s in stages:
+        tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        tot["shuffle_read"] += s.get("shuffleReadBytes", 0)
+        tot["disk_spill"] += s.get("diskBytesSpilled", 0)
+        tot["mem_spill"] += s.get("memoryBytesSpilled", 0)
+        tot["input_bytes"] += s.get("inputBytes", 0)
+    return tot
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--legs", nargs="+", type=int,
@@ -143,18 +166,27 @@ def main() -> None:
         cu = spark.read.parquet(build_curation_corpus(spark, args.sf_dir, n))
         r: dict[str, float | int] = {"docs": n}
 
+        def io_diff(before: dict[str, int]) -> dict[str, float]:
+            after = stage_bytes(spark)
+            return {k: round((after[k] - before[k]) / 1e9, 2)
+                    for k in before}
+
+        io0 = stage_bytes(spark)
         t0 = time.time()
         pairs = dedup.near_dup_pairs_minhash(nd, threshold=0.6,
                                              max_bucket_size=64)
         n_pairs = pairs.count()
         r["minhash_lsh_sec"] = round(time.time() - t0, 2)
         r["pairs"] = n_pairs
+        r["minhash_io_gb"] = io_diff(io0)
 
+        io0 = stage_bytes(spark)
         t0 = time.time()
         comp = dedup.connected_components(nd, pairs)
         n_comp = comp.select("component").distinct().count()
         r["components_sec"] = round(time.time() - t0, 2)
         r["components"] = n_comp
+        r["components_io_gb"] = io_diff(io0)
 
         t0 = time.time()
         feat = textstats.with_features(cu)
