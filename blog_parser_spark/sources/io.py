@@ -360,14 +360,28 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
 
 
 def read_csv_strict(spark: SparkSession, path: str,
-                    schema: StructType, header: bool = True) -> DataFrame:
+                    schema: StructType, header: bool = True,
+                    multiline: bool = False) -> DataFrame:
     """Landing-zone CSV reader with the same declared-schema + quarantine
     contract as read_jsonl: PERMISSIVE, corrupt rows retained in
     `_corrupt` (never DROPMALFORMED — silent row loss is the one
-    unrecoverable failure mode at scale)."""
+    unrecoverable failure mode at scale).
+
+    Embedded newlines inside quoted fields (default, multiline=False):
+    the physical-line split wins — the head fragment parses with the
+    quoted field TRUNCATED at the newline and the tail fragment lands
+    in quarantine, so the damage is detectable via `_corrupt` but the
+    head row is not itself flagged (fuzz-pinned in
+    tests/test_fuzz_readers.py). This is deliberate: newline-split
+    files stay byte-range-splittable, which is what lets a 100 TB
+    landing zone fan out across executors. Pass multiline=True to
+    parse quoted newlines correctly for SMALL landing zones — it
+    forces whole-file parsing (one split per file), which is the right
+    trade only when files are many and modest."""
     full = StructType(schema.fields + [StructField("_corrupt", StringType(), True)])
     return (spark.read.schema(full)
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt")
             .option("header", "true" if header else "false")
+            .option("multiLine", "true" if multiline else "false")
             .csv(path))

@@ -371,6 +371,36 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert set(c) == {"train", "val", "test"} and c["train"] > c["val"]
 
 
+def test_leakage_safe_split_no_cross_split_near_twin(spark):
+    """The guarantee a user actually buys: NO (train, test) or any other
+    cross-split pair is a near-twin. Exhaustive ground-truth check — true
+    shingle-set Jaccard computed for EVERY cross-split pair of the sf0.01
+    near-dup corpus (not just the pairs LSH happened to surface), so an
+    LSH banding miss that leaked a near-dup across splits would fail
+    here. Complements the cluster-cohesion test above."""
+    import itertools
+
+    from blog_parser_spark.operators import sampling
+    corpus = _near_corpus(spark, SF_DIR)
+    pairs = dedup.near_dup_pairs_minhash(corpus, threshold=0.6)
+    comp = dedup.connected_components(corpus, pairs)
+    out = sampling.split_assign(
+        comp, "component", [("train", 800_000), ("val", 900_000)], "test")
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    sh = {r["doc_id"]: set(r["s"]) for r in
+          corpus.select("doc_id",
+                        dedup.shingles_col().alias("s")).collect()}
+    leaks = []
+    for a, b in itertools.combinations(sorted(split_of), 2):
+        if split_of[a] == split_of[b]:
+            continue
+        sa, sb = sh.get(a, set()), sh.get(b, set())
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.6:
+            leaks.append((a, b))
+    assert leaks == [], f"near-twins split across train/test: {leaks[:5]}"
+
+
 def test_split_assign_validates_and_nests(spark):
     from blog_parser_spark.operators import sampling
     import pytest as _pytest
