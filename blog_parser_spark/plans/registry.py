@@ -38,6 +38,19 @@ def register(name: str, sql: str | None = None):
 # (tools/check_queries.py). Rotated-out queries remain covered by that
 # local gate plus their recorded driver history; no-oracle rows
 # (agg_approx_*, agg_hll_union) sort after as ever.
+#
+# Round-5 rotation queue (the EXACT 29 oracle-bearing queries still
+# without a driver row after r4 — computed against CORRECTNESS_r0[123]
+# + this window): parse_links_domains, multimodal_features,
+# multimodal_resize, multimodal_frames, fn_binary, fn_variant,
+# agg_sliding_window, fn_url, fn_try, fn_conditional,
+# win_first_last_nth, win_range_frame, udtf_word_explode,
+# agg_histogram, sql_exists_subquery, win_gapfill, agg_bitmap_distinct,
+# agg_bitmap_rollup, win_sessionize, udaf_grouped_agg,
+# grouped_map_cumsum, fn_struct, graph_degree, log_anomaly_zscore,
+# graph_triangle_count, agg_incremental_partials, cohort_retention,
+# agg_ohlc_resample, agg_embedding_centroid. Swap them in (plus 21
+# re-proofs of the oldest r1 rows) next round the same way.
 DRIVER_WINDOW: list[str] = [
     # TPC-H pack (18) — q1/q3/q5/q6 were driver-green in r3
     "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
