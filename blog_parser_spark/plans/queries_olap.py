@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import graph, groklog, urlnorm
+from ..operators import graph, groklog, logmine, urlnorm
 from ..sources import io
 from .registry import register
 
@@ -743,3 +743,100 @@ def q_parse_grok_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.read_table(spark, sf_dir, "events")
     return groklog.requests_by_method_status(
         groklog.parse_lines(groklog.synth_lines(ev)))
+
+
+# ---------------------------------------------------------------------------
+# parse_log_templates — Drain-style template mining: digit runs collapse
+# to <NUM>, lines group by (token_count, first two normalized tokens)
+# (the depth-2 Drain prefix key), and a position where the group
+# disagrees becomes the <*> wildcard. Two map-side-combined shuffles;
+# the (key,pos) cardinality is O(templates x positions), so the plan is
+# scan-bound at any corpus size. Fixture lines are synthesized
+# deterministically from events in BOTH engines (logmine.synth_app_lines
+# mirrored below); the click shape varies a WORD (button color) so the
+# wildcard path is exercised, not just digit collapse.
+# ---------------------------------------------------------------------------
+
+@register("parse_log_templates", """
+WITH raw AS (
+  SELECT CASE event_type
+    WHEN 'view' THEN 'INFO user ' || CAST(user_id AS VARCHAR)
+        || ' opened page ' || CAST(event_id % 100 AS VARCHAR) || ' in '
+        || CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR) || ' ms'
+    WHEN 'click' THEN 'INFO user ' || CAST(user_id AS VARCHAR)
+        || ' clicked button '
+        || CASE event_id % 3 WHEN 0 THEN 'red' WHEN 1 THEN 'blue'
+           ELSE 'green' END
+        || ' ' || CAST(event_id % 10 AS VARCHAR)
+    WHEN 'purchase' THEN 'WARN payment retry '
+        || CAST(event_id % 5 AS VARCHAR)
+        || ' for user ' || CAST(user_id AS VARCHAR)
+    WHEN 'signup' THEN 'INFO user ' || CAST(user_id AS VARCHAR)
+        || ' created account'
+    ELSE 'ERROR session ' || CAST(event_id AS VARCHAR) || ' aborted'
+    END AS line
+  FROM events),
+keyed AS (
+  SELECT list_transform(string_split(line, ' '),
+                        t -> regexp_replace(t, '[0-9]+', '<NUM>', 'g')) AS tk
+  FROM raw),
+pos AS (
+  SELECT n_toks, gkey, s.pos AS pos, s.tok AS tok FROM (
+    SELECT len(tk) AS n_toks, tk[1] || chr(1) || tk[2] AS gkey,
+           unnest(list_transform(range(len(tk)),
+               i -> struct_pack(pos := i + 1, tok := tk[i + 1]))) AS s
+    FROM keyed)),
+per_pos AS (
+  SELECT n_toks, gkey, pos,
+         COUNT(DISTINCT tok) AS n_distinct, MIN(tok) AS tok,
+         COUNT(*) AS n_rows
+  FROM pos GROUP BY 1, 2, 3)
+SELECT string_agg(CASE WHEN n_distinct = 1 THEN tok ELSE '<*>' END,
+                  ' ' ORDER BY pos) AS template,
+       CAST(MAX(n_rows) AS BIGINT) AS n_lines
+FROM per_pos GROUP BY n_toks, gkey
+""")
+def q_parse_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    return logmine.mine_templates(logmine.synth_app_lines(ev))
+
+
+# ---------------------------------------------------------------------------
+# parse_multiline_stack — multiline record assembly: continuation lines
+# (leading whitespace) fold into the nearest preceding non-continuation
+# line of the same file via a running-max window PER FILE (the natural
+# parallel unit of a log landing zone — no global sort), then records
+# re-assemble with an in-group array sort. Fixture: events with
+# value < 0.1 emit an ERROR parent + two indented frames
+# (logmine.synth_stack_lines, mirrored below).
+# ---------------------------------------------------------------------------
+
+@register("parse_multiline_stack", """
+WITH fanout AS (
+  SELECT user_id % 8 AS file, event_id, value,
+         unnest(CASE WHEN value < 0.1 THEN [0, 1, 2] ELSE [0] END) AS k
+  FROM events),
+raw AS (
+  SELECT file, event_id * 4 + k AS line_no,
+         CASE WHEN k = 0 THEN
+             CASE WHEN value < 0.1
+                  THEN 'ERROR boom ' || CAST(event_id AS VARCHAR)
+                  ELSE 'INFO ok ' || CAST(event_id AS VARCHAR) END
+         ELSE '  at frame' || CAST(k AS VARCHAR) || ' of '
+              || CAST(event_id AS VARCHAR) END AS line
+  FROM fanout),
+tagged AS (
+  SELECT file, line_no, line,
+         MAX(CASE WHEN LEFT(line, 1) <> ' ' THEN line_no END)
+           OVER (PARTITION BY file ORDER BY line_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS record_start
+  FROM raw)
+SELECT file, record_start,
+       string_agg(line, chr(10) ORDER BY line_no) AS record,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM tagged GROUP BY file, record_start
+""")
+def q_parse_multiline_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    return logmine.assemble_multiline(logmine.synth_stack_lines(ev))

@@ -220,3 +220,40 @@ def test_parse_grok_miss_semantics(spark):
     for r in (miss1, miss2):
         assert (r["ip"], r["method"], r["path"], r["status"]) == ("",) * 4
         assert r["epoch"] is None and r["n_bytes"] is None
+
+
+def test_mine_templates_hand_case(spark):
+    """Positional-agreement rule: digits collapse to <NUM>, a position
+    where the group disagrees becomes <*>, groups split on
+    (token_count, first-two-token prefix)."""
+    from blog_parser_spark.operators import logmine
+    lines = spark.createDataFrame(
+        [("job 17 finished in 40 ms",),
+         ("job 99 finished in 7 ms",),
+         ("job 3 crashed in 9 ms",),     # pos 3 varies -> <*>
+         ("disk full on sda",),          # shared 2-token prefix,
+         ("disk full on sdb",),          # last token varies -> <*>
+         ("disk offline now",)],         # 2nd token differs -> own group
+        "line string")
+    got = {r["template"]: r["n_lines"]
+           for r in logmine.mine_templates(lines).collect()}
+    assert got == {"job <NUM> <*> in <NUM> ms": 3,
+                   "disk full on <*>": 2,
+                   "disk offline now": 1}
+
+
+def test_assemble_multiline_hand_case(spark):
+    """Continuation lines adopt the nearest preceding parent in their
+    file; a torn head (continuation before any parent) groups under a
+    NULL record_start instead of vanishing."""
+    from blog_parser_spark.operators import logmine
+    rows = [(1, 10, "ERROR boom"), (1, 11, "  at a"), (1, 12, "  at b"),
+            (1, 13, "INFO ok"), (2, 5, "  orphan tail"), (2, 6, "INFO x")]
+    df = spark.createDataFrame(rows, "file long, line_no long, line string")
+    got = {(r["file"], r["record_start"]): (r["record"], r["n_lines"])
+           for r in logmine.assemble_multiline(df).collect()}
+    assert got == {
+        (1, 10): ("ERROR boom\n  at a\n  at b", 3),
+        (1, 13): ("INFO ok", 1),
+        (2, None): ("  orphan tail", 1),
+        (2, 6): ("INFO x", 1)}
