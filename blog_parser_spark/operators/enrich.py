@@ -4,7 +4,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .. import oracle
 
@@ -39,3 +39,37 @@ def enrich(parsed: DataFrame, lang_norm: DataFrame,
     if domain_meta is not None:
         df = join_domain_meta(df, domain_meta)
     return df
+
+
+def ip_to_long(col: Column | str) -> Column:
+    """Dotted-quad IPv4 -> int64 (the sortable/joinable form every
+    CIDR/geo lookup runs on). Malformed quads cast to NULL per octet and
+    the whole value degrades to NULL — never a crash."""
+    o = F.split(F.col(col) if isinstance(col, str) else col, r"\.")
+    # F.get, not element_at: out-of-bounds yields NULL instead of an
+    # ANSI ArrayIndexOutOfBounds on short quads like "999"
+    oct_ = lambda i: F.get(o, i - 1).try_cast("long")
+    return (oct_(1) * F.lit(16_777_216) + oct_(2) * F.lit(65_536)
+            + oct_(3) * F.lit(256) + oct_(4))
+
+
+def join_ip_ranges(df: DataFrame, ranges: DataFrame,
+                   ip_col: str = "ip") -> DataFrame:
+    """CIDR/geo-IP enrich: attach the range row whose
+    [start_ip, end_ip] interval contains the row's IP.
+
+    The dim here is broadcast and the containment predicate runs
+    map-side (BroadcastNestedLoopJoin) — the right plan when the range
+    table is config-sized (a few thousand ASN/geo blocks): cost is
+    N x |ranges| comparisons with zero shuffle of the fact side. A
+    full GeoIP table (~4M ranges) outgrows that; at that size switch
+    to operators/joins.range_join (the binned equi-join + residual
+    formulation this repo already ships) keyed on the range bin of
+    ip_long. Intervals must be non-overlapping so each IP matches at
+    most one row; unmatched IPs keep NULL labels (left join — rows are
+    never dropped by enrichment)."""
+    fact = df.withColumn("_ip_long", ip_to_long(ip_col))
+    cond = (F.col("_ip_long") >= F.col("start_ip")) & \
+           (F.col("_ip_long") <= F.col("end_ip"))
+    return (fact.join(F.broadcast(ranges), cond, "left")
+            .drop("_ip_long"))

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import graph, groklog, logmine, urlnorm
+from ..operators import enrich, graph, groklog, logmine, urlnorm
 from ..sources import io
 from .registry import register
 
@@ -840,3 +840,48 @@ FROM tagged GROUP BY file, record_start
 def q_parse_multiline_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.read_table(spark, sf_dir, "events")
     return logmine.assemble_multiline(logmine.synth_stack_lines(ev))
+
+
+# ---------------------------------------------------------------------------
+# enrich_ip_cidr — the geo-IP/ASN "lookup enrich" step of the log
+# pipeline: dotted-quad -> int64, then attach the (non-overlapping)
+# range row containing each IP. The dim is config-sized so it
+# BROADCASTS and the containment predicate runs map-side — zero shuffle
+# of the fact stream; a multi-million-range GeoIP table would switch to
+# the binned joins.range_join instead (documented on the operator).
+# One cuts list generates BOTH the Spark dim and the SQL VALUES, so the
+# two engines cannot drift.
+# ---------------------------------------------------------------------------
+
+_IP_BASE = 10 * 16_777_216  # 10.0.0.0
+_IP_CUTS = [(0, 36), (37, 80), (81, 99), (100, 170), (171, 200),
+            (201, 250), (251, 255)]
+_IP_DIM_SQL = ",\n  ".join(
+    f"('blk{i}', {_IP_BASE + lo * 256}, {_IP_BASE + hi * 256 + 255})"
+    for i, (lo, hi) in enumerate(_IP_CUTS))
+
+
+@register("enrich_ip_cidr", f"""
+WITH ips AS (
+  SELECT '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS ip,
+         {_IP_BASE} + (user_id % 256) * 256 + 1 AS ip_long
+  FROM events),
+dim(label, start_ip, end_ip) AS (VALUES
+  {_IP_DIM_SQL})
+SELECT label, CAST(COUNT(*) AS BIGINT) AS requests,
+       CAST(COUNT(DISTINCT ip) AS BIGINT) AS uniq_ips
+FROM ips LEFT JOIN dim ON ip_long BETWEEN start_ip AND end_ip
+GROUP BY label
+""")
+def q_enrich_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    ips = groklog.parse_lines(groklog.synth_lines(ev)).select("ip")
+    dim = spark.createDataFrame(
+        [(f"blk{{i}}".format(i=i), _IP_BASE + lo * 256,
+          _IP_BASE + hi * 256 + 255)
+         for i, (lo, hi) in enumerate(_IP_CUTS)],
+        "label string, start_ip long, end_ip long")
+    return (enrich.join_ip_ranges(ips, dim)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("requests"),
+                 F.count_distinct("ip").alias("uniq_ips")))

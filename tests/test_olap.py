@@ -257,3 +257,24 @@ def test_assemble_multiline_hand_case(spark):
         (1, 13): ("INFO ok", 1),
         (2, None): ("  orphan tail", 1),
         (2, 6): ("INFO x", 1)}
+
+
+def test_ip_cidr_enrich_hand_cases(spark):
+    """ip_to_long arithmetic, malformed-IP degradation to NULL (never a
+    crash), non-overlap containment, and left-join row conservation."""
+    from blog_parser_spark.operators import enrich
+    facts = spark.createDataFrame(
+        [("10.0.0.1",), ("10.0.1.255",), ("not.an.ip.x",), ("999",),
+         ("10.0.3.7",)], "ip string")
+    dim = spark.createDataFrame(
+        [("a", 167772160, 167772415),          # 10.0.0.0 - 10.0.0.255
+         ("b", 167772416, 167772671)],         # 10.0.1.0 - 10.0.1.255
+        "label string, start_ip long, end_ip long")
+    out = {r["ip"]: r["label"]
+           for r in enrich.join_ip_ranges(facts, dim).collect()}
+    # every fact row survives; malformed and uncovered IPs keep NULL
+    assert out == {"10.0.0.1": "a", "10.0.1.255": "b",
+                   "not.an.ip.x": None, "999": None, "10.0.3.7": None}
+    lng = facts.select(enrich.ip_to_long("ip").alias("v")).collect()
+    assert [r["v"] for r in lng] == [167772161, 167772671, None, None,
+                                     167772935]
