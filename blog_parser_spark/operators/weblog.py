@@ -1,0 +1,146 @@
+"""Web-log behavioral analytics — the operators that sit downstream of
+the grok parse in a telemetry pipeline: user-agent classification,
+clickpath (Markov) transition mining, and per-user interval coalescing
+(gaps-and-islands session merge).
+
+All three are pure JVM plans (no Python stage):
+
+- classify_useragent: a CASE/contains ladder over the UA string —
+  bot detection FIRST (a bot UA often also says "Mozilla"), then
+  browser family with Chrome-before-Safari precedence (every Chrome UA
+  also contains "Safari"), then OS. Map-only; at 100 TB it fuses into
+  the scan's whole-stage codegen and the downstream count is
+  map-side-combined.
+- transition_counts: lag(event) per user ordered by (ts, event_id) —
+  the unique tie-break keeps the sequence deterministic when a user
+  fires two events in the same microsecond — then a (prev, next)
+  count with the per-prev probability attached via a window SUM on the
+  aggregate's own (tiny) output, not a re-shuffle of the fact stream.
+- coalesce_intervals: classic gaps-and-islands — an interval starts a
+  new island when its start exceeds the running MAX of all previous
+  ends (handles fully-contained intervals, which a lag(end) formulation
+  gets wrong), island id by a running SUM of the new-island flag, then
+  two map-side-combined aggregations. Windows partition by user_id —
+  per-key parallel, no global sort; skewed power users are bounded by
+  their own event count, never the corpus.
+
+Fixture synthesis (`synth_useragents`) derives deterministic UA strings
+from the events table in BOTH engines (the DuckDB oracles in
+plans/queries_weblog.py mirror it), so round-trips are oracle-checkable
+without external data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Case-insensitive; `curl` and `python-requests` are the classic
+# script/SDK signatures, the rest the crawler ones.
+BOT_RX = "(?i)(bot|crawl|spider|curl|python-requests)"
+
+
+def synth_useragents(events: DataFrame) -> DataFrame:
+    """Deterministic UA strings from events rows -> one `ua` column.
+
+    Five shapes spanning the classifier's whole decision ladder:
+    Chrome/Windows, Safari/macOS, Firefox/Linux, a crawler + a CLI
+    client (signup split 1:2), and an SDK (error)."""
+    eid = F.col("event_id")
+    et = F.col("event_type")
+    ua = (F.when(et == "view",
+                 F.concat(F.lit("Mozilla/5.0 (Windows NT 10.0) Chrome/"),
+                          (100 + eid % 20).cast("string"),
+                          F.lit(".0 Safari/537.36")))
+          .when(et == "click",
+                F.concat(F.lit("Mozilla/5.0 (Macintosh) Version/17."),
+                         (eid % 10).cast("string"), F.lit(" Safari/605.1")))
+          .when(et == "purchase",
+                F.concat(F.lit("Mozilla/5.0 (X11; Linux x86_64) Firefox/"),
+                         (90 + eid % 15).cast("string"), F.lit(".0")))
+          .when(et == "signup",
+                F.when(eid % 3 == 0,
+                       F.lit("Googlebot/2.1 (+http://www.google.com/bot.html)"))
+                .otherwise(F.concat(F.lit("curl/8."),
+                                    (eid % 5).cast("string"))))
+          .otherwise(F.concat(F.lit("python-requests/2."),
+                              (eid % 9).cast("string"))))
+    return events.select("user_id", ua.alias("ua"))
+
+
+def classify_useragent(df: DataFrame, ua_col: str = "ua") -> DataFrame:
+    """Attach (family, os, is_bot) columns from a raw UA string.
+
+    Precedence matters and is documented: bots first (crawler UAs
+    embed browser tokens), Chrome before Safari (every Chrome UA also
+    advertises Safari). Map-only — the whole ladder is one codegen
+    projection."""
+    ua = F.col(ua_col)
+    is_bot = ua.rlike(BOT_RX)
+    family = (F.when(is_bot, "bot")
+              .when(ua.contains("Chrome/"), "chrome")
+              .when(ua.contains("Safari/"), "safari")
+              .when(ua.contains("Firefox/"), "firefox")
+              .otherwise("other"))
+    os = (F.when(ua.contains("Windows"), "windows")
+          .when(ua.contains("Macintosh"), "macos")
+          .when(ua.contains("Linux"), "linux")
+          .otherwise("unknown"))
+    return df.withColumn("family", family).withColumn("os", os) \
+             .withColumn("is_bot", is_bot)
+
+
+def transition_counts(events: DataFrame) -> DataFrame:
+    """Per-user clickpath transition matrix with per-source probability.
+
+    lag(event_type) over (user, ts, event_id) — the event_id tie-break
+    keeps same-timestamp sequences deterministic across engines. The
+    first event of each user transitions from the synthetic 'START'
+    state. The probability divides two exact BIGINT counts; IEEE double
+    division is correctly rounded, so the result is bit-identical
+    across engines (no rounding needed)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.coalesce(F.lag("event_type").over(w), F.lit("START"))
+    trans = (events
+             .select(prev.alias("prev_type"), F.col("event_type"))
+             .groupBy("prev_type", "event_type")
+             .agg(F.count(F.lit(1)).alias("n_trans")))
+    # The window runs on the aggregate's own tiny output (|event_types|^2
+    # rows), never on the fact stream.
+    per_src = Window.partitionBy("prev_type")
+    return trans.withColumn(
+        "prob",
+        (F.col("n_trans").cast("double")
+         / F.sum("n_trans").over(per_src).cast("double")))
+
+
+def coalesce_intervals(events: DataFrame) -> DataFrame:
+    """Merge overlapping per-user activity intervals (gaps-and-islands).
+
+    Interval = [epoch(ts), epoch(ts) + 60 + event_id % 240] seconds —
+    a deterministic integer-math duration so both engines agree
+    bit-for-bit. A new island starts when start_s exceeds the running
+    MAX of every previous end (running max, not lag(end): a long
+    interval can fully contain its successors). Output: per user the
+    island count, total covered seconds, and the longest island."""
+    start_s = F.col("ts").cast("timestamp").cast("long")
+    iv = events.select(
+        "user_id", "event_id",
+        start_s.alias("start_s"),
+        (start_s + 60 + F.col("event_id") % 240).alias("end_s"))
+    order = Window.partitionBy("user_id").orderBy("start_s", "event_id")
+    prev_max_end = (F.max("end_s")
+                    .over(order.rowsBetween(Window.unboundedPreceding, -1)))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull()
+               | (F.col("start_s") > prev_max_end), 1).otherwise(0))
+    island = F.sum("new_island").over(
+        order.rowsBetween(Window.unboundedPreceding, 0))
+    islands = (flagged.withColumn("island", island)
+               .groupBy("user_id", "island")
+               .agg(F.min("start_s").alias("i_start"),
+                    F.max("end_s").alias("i_end")))
+    return (islands.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(F.col("i_end") - F.col("i_start")).alias("covered_s"),
+                 F.max(F.col("i_end") - F.col("i_start")).alias("longest_s")))
