@@ -64,7 +64,110 @@ def synth_useragents(events: DataFrame) -> DataFrame:
                                     (eid % 5).cast("string"))))
           .otherwise(F.concat(F.lit("python-requests/2."),
                               (eid % 9).cast("string"))))
-    return events.select("user_id", ua.alias("ua"))
+    # Keep the source columns — downstream consumers (bot_score) need
+    # event_type; Catalyst prunes what a given plan doesn't use.
+    return events.withColumn("ua", ua)
+
+
+def slo_burn_rate(events: DataFrame, window_s: int = 300,
+                  long_windows: int = 12, budget: float = 0.25) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google-SRE shape): the
+    error budget burns at rate (error_rate / budget); an alert fires
+    when BOTH the short window (one tumbling window_s bucket) and the
+    long window (a rolling `long_windows`-bucket range frame) burn
+    faster than 1x.
+
+    Windows bucket by pure integer math (epoch - epoch % window_s) so
+    both engines agree exactly; the rolling frame runs on the tumbling
+    aggregate's output — O(corpus_span / window_s) rows, ~100k/year —
+    never the fact stream, so the unpartitioned ORDER BY is a
+    single-reducer pass over thousands of rows, not a global sort of
+    the corpus. `budget` defaults to 0.25 (exactly representable in
+    binary) so burn = rate/budget is bit-identical across engines."""
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    win = (epoch - epoch % window_s).alias("win_start")
+    per_win = (events
+               .select(win, F.when(F.col("event_type") == "error", 1)
+                       .otherwise(0).alias("is_err"))
+               .groupBy("win_start")
+               .agg(F.count(F.lit(1)).alias("requests"),
+                    F.sum("is_err").alias("errors")))
+    frame = (Window.orderBy("win_start")
+             .rangeBetween(-(window_s * (long_windows - 1)), 0))
+    short_burn = (F.col("errors").cast("double")
+                  / F.col("requests").cast("double") / F.lit(budget))
+    long_burn = (F.sum("errors").over(frame).cast("double")
+                 / F.sum("requests").over(frame).cast("double")
+                 / F.lit(budget))
+    return (per_win
+            .withColumn("short_burn", short_burn)
+            .withColumn("long_burn", long_burn)
+            .withColumn("alert",
+                        ((F.col("short_burn") > 1.0)
+                         & (F.col("long_burn") > 1.0)).cast("long")))
+
+
+def bot_score(events: DataFrame) -> DataFrame:
+    """Composite per-user automation score: share of bot UAs (0.6
+    weight) + share of error events (0.4). One groupBy over the fact
+    stream with map-side combine; the shares divide exact BIGINTs and
+    the weights are identical double literals in both engines, so the
+    weighted sum is bit-identical. Suspects = score > 0.5."""
+    cls = classify_useragent(synth_useragents(events))
+    per_user = (cls.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("requests"),
+                     F.sum(F.col("is_bot").cast("long")).alias("bot_hits"),
+                     F.sum(F.when(F.col("event_type") == "error", 1)
+                           .otherwise(0)).alias("error_hits")))
+    bot_share = (F.col("bot_hits").cast("double")
+                 / F.col("requests").cast("double"))
+    err_share = (F.col("error_hits").cast("double")
+                 / F.col("requests").cast("double"))
+    score = F.lit(0.6) * bot_share + F.lit(0.4) * err_share
+    return (per_user
+            .withColumn("bot_share", bot_share)
+            .withColumn("error_share", err_share)
+            .withColumn("score", score)
+            .withColumn("is_suspect", (F.col("score") > 0.5).cast("long"))
+            .drop("bot_hits", "error_hits"))
+
+
+def synth_prop_json(events: DataFrame) -> DataFrame:
+    """Deterministic per-type JSON documents (heterogeneous key sets)
+    from events rows -> (ts, doc). The key sets drift by event_type so
+    a key census has real structure to discover."""
+    eid = F.col("event_id")
+    et = F.col("event_type")
+    k = (eid % 100).cast("string")
+    doc = (F.when(et == "view",
+                  F.concat(F.lit('{"k": '), k, F.lit(', "page": "p'),
+                           (eid % 10).cast("string"), F.lit('"}')))
+           .when(et == "click",
+                 F.concat(F.lit('{"k": '), k, F.lit(', "btn": "b'),
+                          (eid % 3).cast("string"), F.lit('"}')))
+           .when(et == "purchase",
+                 F.concat(F.lit('{"k": '), k, F.lit(', "amount": '),
+                          (eid % 500).cast("string"),
+                          F.lit(', "currency": "usd"}')))
+           .when(et == "signup", F.concat(F.lit('{"k": '), k, F.lit("}")))
+           .otherwise(F.concat(F.lit('{"k": '), k, F.lit(', "code": '),
+                               (eid % 7).cast("string"), F.lit("}"))))
+    return events.select("ts", doc.alias("doc"))
+
+
+def schema_key_census(docs: DataFrame) -> DataFrame:
+    """Schema-drift census over heterogeneous JSON: explode each doc's
+    top-level key set, report per key the doc count and the first day
+    it appeared. This is how a landing zone notices producers adding
+    fields. json_object_keys + explode stays JVM-side; the census
+    aggregate is map-side-combined and its cardinality is the number
+    of DISTINCT KEYS — tiny at any corpus size."""
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    keys = docs.select(day.alias("day"),
+                       F.explode(F.json_object_keys("doc")).alias("key"))
+    return (keys.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("day").alias("first_seen_day")))
 
 
 def classify_useragent(df: DataFrame, ua_col: str = "ua") -> DataFrame:

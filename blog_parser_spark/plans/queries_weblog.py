@@ -22,7 +22,7 @@ from .registry import register
 # Mirrors weblog.synth_useragents — one source of truth per engine,
 # asserted equal by tests/test_weblog.py round-trip.
 _UA_SYNTH_SQL = """
-  SELECT user_id, CASE event_type
+  SELECT user_id, event_type, CASE event_type
     WHEN 'view' THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/'
         || CAST(100 + event_id % 20 AS VARCHAR) || '.0 Safari/537.36'
     WHEN 'click' THEN 'Mozilla/5.0 (Macintosh) Version/17.'
@@ -147,3 +147,172 @@ FROM g GROUP BY user_id
 def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.read_table(spark, sf_dir, "events")
     return weblog.coalesce_intervals(ev)
+
+
+# ---------------------------------------------------------------------------
+# slo_burn_rate — multi-window error-budget burn alerting (the SRE
+# shape): a tumbling 5-min error rate and a rolling 1-hour range frame
+# over the TUMBLING AGGREGATE's output (~100k rows/year — the
+# unpartitioned ORDER BY is a single-reducer pass over the aggregate,
+# never a global sort of the fact stream). budget=0.25 is exactly
+# representable, so burn = rate/budget is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+@register("slo_burn_rate", """
+WITH per_win AS (
+  SELECT epoch_us(ts) // 1000000 - (epoch_us(ts) // 1000000) % 300
+           AS win_start,
+         CAST(COUNT(*) AS BIGINT) AS requests,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors
+  FROM events GROUP BY 1),
+burn AS (
+  SELECT win_start, requests, errors,
+         CAST(errors AS DOUBLE) / CAST(requests AS DOUBLE)
+           / CAST(0.25 AS DOUBLE) AS short_burn,
+         CAST(SUM(errors) OVER w AS DOUBLE)
+           / CAST(SUM(requests) OVER w AS DOUBLE)
+           / CAST(0.25 AS DOUBLE) AS long_burn
+  FROM per_win
+  WINDOW w AS (ORDER BY win_start
+               RANGE BETWEEN 3300 PRECEDING AND CURRENT ROW))
+SELECT win_start, requests, errors, short_burn, long_burn,
+       CAST(short_burn > 1.0 AND long_burn > 1.0 AS BIGINT) AS alert
+FROM burn
+""")
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    return weblog.slo_burn_rate(ev)
+
+
+# ---------------------------------------------------------------------------
+# bot_score — composite per-user automation heuristic: 0.6 * bot-UA
+# share + 0.4 * error-event share. One map-side-combined groupBy over
+# the fact stream; shares divide exact BIGINTs and both engines
+# multiply the identical double literals, so scores match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@register("bot_score", f"""
+WITH ua AS ({_UA_SYNTH_SQL}),
+per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS requests,
+         CAST(SUM(CASE WHEN regexp_matches(ua,
+              '(?i)(bot|crawl|spider|curl|python-requests)')
+              THEN 1 ELSE 0 END) AS BIGINT) AS bot_hits,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS error_hits
+  FROM ua GROUP BY user_id),
+sc AS (
+  SELECT user_id, requests,
+         CAST(bot_hits AS DOUBLE) / CAST(requests AS DOUBLE) AS bot_share,
+         CAST(error_hits AS DOUBLE) / CAST(requests AS DOUBLE) AS error_share
+  FROM per_user)
+SELECT user_id, requests, bot_share, error_share,
+       CAST(0.6 AS DOUBLE) * bot_share
+         + CAST(0.4 AS DOUBLE) * error_share AS score,
+       CAST(CAST(0.6 AS DOUBLE) * bot_share
+            + CAST(0.4 AS DOUBLE) * error_share > 0.5 AS BIGINT)
+         AS is_suspect
+FROM sc
+""")
+def q_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    return weblog.bot_score(ev)
+
+
+# ---------------------------------------------------------------------------
+# schema_drift_census — top-level key census over heterogeneous JSON
+# (per-producer key sets drift by event_type in the fixture): per key
+# the doc count and first-seen day. json_object_keys + explode stays
+# JVM-side; the aggregate's cardinality is |distinct keys| — tiny at
+# any corpus size.
+# ---------------------------------------------------------------------------
+
+@register("schema_drift_census", """
+WITH docs AS (
+  SELECT ts, CASE event_type
+    WHEN 'view' THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+        || ', "page": "p' || CAST(event_id % 10 AS VARCHAR) || '"}'
+    WHEN 'click' THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+        || ', "btn": "b' || CAST(event_id % 3 AS VARCHAR) || '"}'
+    WHEN 'purchase' THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+        || ', "amount": ' || CAST(event_id % 500 AS VARCHAR)
+        || ', "currency": "usd"}'
+    WHEN 'signup' THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR) || '}'
+    ELSE '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "code": '
+        || CAST(event_id % 7 AS VARCHAR) || '}'
+    END AS doc
+  FROM events),
+keys AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, unnest(json_keys(doc)) AS key
+  FROM docs)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(day) AS first_seen_day
+FROM keys GROUP BY key
+""")
+def q_schema_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    return weblog.schema_key_census(weblog.synth_prop_json(ev))
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff_audit — keyed reconciliation between two snapshots
+# (operators/reconcile.py): each side reduces map-side to
+# (key, md5 fingerprint) — the only columns that shuffle — then one
+# full-outer join and a per-class count. Snapshot B simulates a day of
+# churn on orders deterministically (keys %97 deleted, %13 reclassed,
+# %89 re-inserted shifted +10M). Fingerprints hash BIGINT/VARCHAR only
+# (double rendering is engine-specific by design — see module doc).
+# ---------------------------------------------------------------------------
+
+@register("snapshot_diff_audit", """
+WITH a AS (
+  SELECT o_orderkey AS key, o_custkey, o_orderstatus, o_orderpriority
+  FROM orders),
+b AS (
+  SELECT o_orderkey AS key, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X-RECLASS'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'X', '5-ADDED'
+  FROM orders WHERE o_orderkey % 89 = 0),
+fa AS (
+  SELECT key, md5(concat_ws(chr(31),
+      COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+      COALESCE(o_orderstatus, chr(0)),
+      COALESCE(o_orderpriority, chr(0)))) AS h_a FROM a),
+fb AS (
+  SELECT key, md5(concat_ws(chr(31),
+      COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+      COALESCE(o_orderstatus, chr(0)),
+      COALESCE(o_orderpriority, chr(0)))) AS h_b FROM b),
+j AS (
+  SELECT COALESCE(fa.key, fb.key) AS key,
+         CASE WHEN fa.h_a IS NULL THEN 'added'
+              WHEN fb.h_b IS NULL THEN 'removed'
+              WHEN fa.h_a <> fb.h_b THEN 'changed'
+              ELSE 'unchanged' END AS diff_class
+  FROM fa FULL OUTER JOIN fb ON fa.key = fb.key)
+SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(key) AS min_key, MAX(key) AS max_key
+FROM j GROUP BY diff_class
+""")
+def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import reconcile
+    orders = io.read_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    a = orders.select(key.alias("key"), "o_custkey", "o_orderstatus",
+                      "o_orderpriority")
+    b = (orders.where(key % 97 != 0)
+         .select(key.alias("key"), "o_custkey", "o_orderstatus",
+                 F.when(key % 13 == 0, "X-RECLASS")
+                 .otherwise(F.col("o_orderpriority"))
+                 .alias("o_orderpriority"))
+         .unionByName(
+             orders.where(key % 89 == 0)
+             .select((key + 10000000).alias("key"), "o_custkey",
+                     F.lit("X").alias("o_orderstatus"),
+                     F.lit("5-ADDED").alias("o_orderpriority"))))
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    return reconcile.diff_summary(
+        reconcile.snapshot_diff(a, b, "key", cols))

@@ -88,3 +88,56 @@ def test_synth_useragents_cover_all_families(spark, tmp_path):
     fams = {r.family for r in weblog.classify_useragent(
         weblog.synth_useragents(ev)).select("family").distinct().collect()}
     assert fams == {"bot", "chrome", "safari", "firefox"}
+
+
+def test_slo_burn_rate_hand_case(spark):
+    # One 5-min window all errors (burn 4.0), one all views (burn 0);
+    # the long frame spanning both burns at 0.5/0.25 = 2.0.
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1,
+             "error" if i < 4 else "view") for i in range(4)]
+    rows += [(10 + i, dt.datetime(2024, 1, 1, 0, 5, i), 1, "view")
+             for i in range(4)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.win_start: r for r in weblog.slo_burn_rate(ev).collect()}
+    w0 = dt.datetime(2024, 1, 1).timestamp()
+    first, second = got[int(w0)], got[int(w0) + 300]
+    assert (first.requests, first.errors, first.short_burn) == (4, 4, 4.0)
+    assert second.short_burn == 0.0
+    assert second.long_burn == (4 / 8) / 0.25  # rolling frame spans both
+    assert first.alert == 1 and second.alert == 0
+
+
+def test_schema_key_census_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2), '{"a": 1, "b": 2}'),
+         (dt.datetime(2024, 1, 1), '{"a": 3}'),
+         (dt.datetime(2024, 1, 5), '{"b": 4, "c": 5}')],
+        "ts timestamp, doc string")
+    got = {r.key: (r.n_docs, r.first_seen_day)
+           for r in weblog.schema_key_census(docs).collect()}
+    assert got == {"a": (2, "2024-01-01"), "b": (2, "2024-01-02"),
+                   "c": (1, "2024-01-05")}
+
+
+def test_snapshot_diff_hand_case(spark):
+    from blog_parser_spark.operators import reconcile
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "key long, v string")
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "CHANGED"), (4, "new")], "key long, v string")
+    got = {r.key: r.diff_class
+           for r in reconcile.snapshot_diff(a, b, "key", ["v"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    summary = {r.diff_class: r.n_rows
+               for r in reconcile.diff_summary(
+                   reconcile.snapshot_diff(a, b, "key", ["v"])).collect()}
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_fingerprint_null_vs_empty(spark):
+    from blog_parser_spark.operators import reconcile
+    df = spark.createDataFrame([(1, None, "a"), (2, "", "a")],
+                               "key long, u string, v string")
+    hs = [r.h for r in reconcile.fingerprint(df, "key", ["u", "v"]).collect()]
+    assert hs[0] != hs[1]  # NULL and '' must fingerprint differently
