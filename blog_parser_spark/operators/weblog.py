@@ -132,6 +132,48 @@ def bot_score(events: DataFrame) -> DataFrame:
             .drop("bot_hits", "error_hits"))
 
 
+def ab_experiment(events: DataFrame) -> DataFrame:
+    """Two-variant experiment readout: deterministic assignment by
+    60-bit md5 user hash (% 2), per-user conversion = any purchase
+    event, then ONE global conditional aggregate -> a single row with
+    per-variant sizes, conversion rates, absolute lift, and the pooled
+    two-proportion z statistic.
+
+    Determinism: counts are exact BIGINTs; rates/lift are IEEE double
+    divisions of exact ints; sqrt is correctly rounded per IEEE-754
+    (not a transcendental), and z still rounds to 12 decimals on both
+    engines per the repo convention. Assignment hashes the user id
+    (never rand()), so re-runs and engines agree."""
+    from .sampling import row_hash
+    converted = (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+    per_user = (events.groupBy("user_id")
+                .agg(F.max(F.when(converted, 1).otherwise(0)).alias("conv")))
+    assign = per_user.withColumn(
+        "variant", F.pmod(row_hash(F.col("user_id").cast("string")),
+                          F.lit(2)))
+    in_a = F.col("variant") == 0
+    agg = assign.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(in_a, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(~in_a, F.col("conv")).otherwise(0)).alias("conv_b"))
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    c_a, c_b = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    rate_a, rate_b = c_a / n_a, c_b / n_b
+    pooled = (c_a + c_b) / (n_a + n_b)
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / n_a + F.lit(1.0) / n_b))
+    # Degenerate experiments (0% or 100% pooled conversion) have se=0;
+    # z is undefined there — NULL on both engines, not a crash (ANSI
+    # mode) or an inf (DuckDB).
+    z = F.when(se > 0, F.round((rate_b - rate_a) / se, 12))
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        rate_a.alias("rate_a"), rate_b.alias("rate_b"),
+        (rate_b - rate_a).alias("lift_abs"),
+        z.alias("z_score"))
+
+
 def synth_prop_json(events: DataFrame) -> DataFrame:
     """Deterministic per-type JSON documents (heterogeneous key sets)
     from events rows -> (ts, doc). The key sets drift by event_type so

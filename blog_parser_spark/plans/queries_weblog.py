@@ -316,3 +316,106 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
     return reconcile.diff_summary(
         reconcile.snapshot_diff(a, b, "key", cols))
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_strip — per-site common-line boilerplate removal
+# (operators/boilerplate.py): a line appearing on >= 1/2 of its
+# domain's docs is boilerplate. Frequency agg + join-back both key on
+# (source, 60-bit line hash) — ~24 B/line shuffles, never the text.
+# Threshold by integer cross-multiplication (no FP ceil). Fixture
+# injects a shared nav + footer (must drop) and a 25%-of-pages promo
+# (must survive) around each doc body.
+# ---------------------------------------------------------------------------
+
+@register("text_boilerplate_strip", """
+WITH pages AS (
+  SELECT doc_id, source,
+         concat_ws(chr(10),
+           'NAV home about contact ' || source,
+           CASE WHEN doc_id % 4 = 0 THEN 'SUBSCRIBE to our newsletter' END,
+           text,
+           '(c) 2024 ' || source || ' all rights reserved') AS page
+  FROM documents),
+lines AS (
+  SELECT doc_id, source, s.pos AS pos, s.line AS line FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(len(ls)),
+               i -> struct_pack(pos := i, line := ls[i + 1]))) AS s
+    FROM (SELECT doc_id, source, string_split(page, chr(10)) AS ls
+          FROM pages))),
+nd AS (
+  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM pages GROUP BY source),
+freq AS (
+  SELECT source, line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with
+  FROM lines GROUP BY source, line),
+tagged AS (
+  SELECT l.doc_id, l.source, l.pos, l.line,
+         CASE WHEN nd.n_docs >= 2 AND f.n_docs_with * 2 >= nd.n_docs * 1
+              THEN 1 ELSE 0 END AS is_bp
+  FROM lines l
+  JOIN freq f ON l.source = f.source AND l.line = f.line
+  JOIN nd ON l.source = nd.source)
+SELECT doc_id, source,
+       CAST(SUM(1 - is_bp) AS BIGINT) AS n_kept,
+       CAST(SUM(is_bp) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN is_bp = 0 THEN line END,
+                               chr(10) ORDER BY pos), '')) AS clean_md5
+FROM tagged GROUP BY doc_id, source
+""")
+def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import boilerplate
+    docs = io.read_table(spark, sf_dir, "documents")
+    out = boilerplate.strip_boilerplate(boilerplate.synth_pages(docs))
+    return out.select("doc_id", "source", "n_kept", "n_dropped",
+                      F.md5(F.col("clean_text")).alias("clean_md5"))
+
+
+# ---------------------------------------------------------------------------
+# experiment_ab_lift — deterministic A/B readout: md5-hash variant
+# assignment (never rand()), per-user any-purchase conversion, one
+# global conditional aggregate -> per-variant rates, absolute lift, and
+# the pooled two-proportion z (sqrt is IEEE-exact; z rounds to 12 on
+# both sides per convention).
+# ---------------------------------------------------------------------------
+
+@register("experiment_ab_lift", """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+             THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+assign AS (
+  SELECT conv,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS variant
+  FROM per_user),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM assign),
+rates AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+         (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pooled
+  FROM agg),
+withse AS (
+  SELECT *, sqrt(pooled * (CAST(1.0 AS DOUBLE) - pooled)
+                 * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS se
+  FROM rates)
+SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+       rate_b - rate_a AS lift_abs,
+       CASE WHEN se > 0 THEN round((rate_b - rate_a) / se, 12) END AS z_score
+FROM withse
+""")
+def q_experiment_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    return weblog.ab_experiment(ev)

@@ -49,10 +49,12 @@ def register(name: str, sql: str | None = None):
 # agg_bitmap_rollup, win_sessionize, udaf_grouped_agg,
 # grouped_map_cumsum, fn_struct, graph_degree, log_anomaly_zscore,
 # graph_triangle_count, agg_incremental_partials, cohort_retention,
-# agg_ohlc_resample, agg_embedding_centroid — plus the three r4-added
+# agg_ohlc_resample, agg_embedding_centroid — plus the ten r4-added
 # operators (parse_log_templates, parse_multiline_stack,
-# enrich_ip_cidr), making 32. Swap them in (plus 18 re-proofs of the
-# oldest r1 rows) next round the same way.
+# enrich_ip_cidr, parse_useragent, clickpath_transitions,
+# interval_coalesce, slo_burn_rate, bot_score, schema_drift_census,
+# snapshot_diff_audit), making 39. Swap them in (plus 11 re-proofs of
+# the oldest r1 rows) next round the same way.
 DRIVER_WINDOW: list[str] = [
     # TPC-H pack (18) — q1/q3/q5/q6 were driver-green in r3
     "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",

@@ -141,3 +141,46 @@ def test_fingerprint_null_vs_empty(spark):
                                "key long, u string, v string")
     hs = [r.h for r in reconcile.fingerprint(df, "key", ["u", "v"]).collect()]
     assert hs[0] != hs[1]  # NULL and '' must fingerprint differently
+
+
+def test_strip_boilerplate_hand_case(spark):
+    from blog_parser_spark.operators import boilerplate
+    # Domain d: nav on all 3 docs (drop), promo on 1 of 3 (keep), unique
+    # bodies (keep). Doc 1 repeats the nav twice — must count once.
+    pages = spark.createDataFrame(
+        [(1, "d", "NAV\nbody one\nNAV"),
+         (2, "d", "NAV\npromo\nbody two"),
+         (3, "d", "NAV\nbody three"),
+         (9, "solo", "NAV\nonly doc")],  # min_docs=2 -> nothing dropped
+        "doc_id long, source string, page string")
+    got = {r.doc_id: r for r in
+           boilerplate.strip_boilerplate(pages).collect()}
+    assert (got[1].n_kept, got[1].n_dropped) == (1, 2)
+    assert got[1].clean_text == "body one"
+    assert got[2].clean_text == "promo\nbody two"
+    assert got[3].clean_text == "body three"
+    # single-doc domain: its NAV appears on 100% of docs but min_docs
+    # gates it out
+    assert (got[9].n_kept, got[9].n_dropped) == (2, 0)
+
+
+def test_ab_experiment_closed_form(spark):
+    import math
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    r = weblog.ab_experiment(ev).collect()[0]
+    assert r.n_a + r.n_b == ev.select("user_id").distinct().count()
+    p = (r.conv_a + r.conv_b) / (r.n_a + r.n_b)
+    assert 0 < p < 1, "fixture must be non-degenerate for this check"
+    se = math.sqrt(p * (1 - p) * (1 / r.n_a + 1 / r.n_b))
+    want = round((r.conv_b / r.n_b - r.conv_a / r.n_a) / se, 12)
+    assert r.z_score == want
+
+
+def test_ab_experiment_degenerate_z_is_null(spark):
+    # Every user converts -> pooled rate 1 -> se 0 -> z NULL, no crash.
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), i, "purchase", 480.0) for i in range(6)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double")
+    r = weblog.ab_experiment(ev).collect()[0]
+    assert r.z_score is None and r.rate_a == 1.0 and r.rate_b == 1.0
