@@ -113,6 +113,20 @@ def main() -> None:
             qs["filter_domain_blocklist"](spark, SF_DIR),
         "parse_grok_logs (regexp_extract in codegen — zero Python stages)":
             qs["parse_grok_logs"](spark, SF_DIR),
+        "enrich_ip_cidr (broadcast range dim — zero fact-side shuffle)":
+            qs["enrich_ip_cidr"](spark, SF_DIR),
+        "slo_burn_rate (rolling frame over the tumbling aggregate, "
+        "never the fact stream)":
+            qs["slo_burn_rate"](spark, SF_DIR),
+        "interval_coalesce (per-user windows — per-key parallel, "
+        "no global sort)":
+            qs["interval_coalesce"](spark, SF_DIR),
+        "text_boilerplate_strip (freq agg + join-back keyed on "
+        "(source, line_hash) — line text never shuffles as a key)":
+            qs["text_boilerplate_strip"](spark, SF_DIR),
+        "snapshot_diff_audit (map-side md5 fingerprint reduction -> "
+        "one full-outer join on 48 B/row)":
+            qs["snapshot_diff_audit"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
@@ -139,7 +153,12 @@ def main() -> None:
                 "scale-independent — AQE may re-plan stage counts at runtime "
                 "on real data volumes).\n")
         for title, df in targets.items():
-            plan = fmt(df)
+            # Plans can embed non-printable literals (reconcile.py's
+            # \x1f separator / \x00 NULL sentinel) — escape them so
+            # PLANS.md stays a text file for grep/diff tooling.
+            plan = "".join(
+                c if c.isprintable() or c in "\n\t" else repr(c)[1:-1]
+                for c in fmt(df))
             f.write(f"\n## {title}\n\n")
             f.write("\n".join(props(plan)))
             f.write("\n\n```\n")
