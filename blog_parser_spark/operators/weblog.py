@@ -258,6 +258,70 @@ def transition_counts(events: DataFrame) -> DataFrame:
          / F.sum("n_trans").over(per_src).cast("double")))
 
 
+def _day_num(ts_col: str = "ts"):
+    """Integer epoch-day (floor), exact in both engines: the numerator
+    is made exactly divisible before the division."""
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    return ((epoch - epoch % 86400) / 86400).cast("long")
+
+
+def rolling_distinct_users(events: DataFrame,
+                           window_days: int = 7) -> DataFrame:
+    """Trailing-N-day distinct users per day — the metric SQL spells
+    COUNT(DISTINCT user) OVER (RANGE N DAYS), which Spark does not
+    support over windows at all. The distributed-native formulation:
+    dedup to (user, day) pairs FIRST (the corpus never explodes), then
+    each pair fans out to the `window_days` target days it contributes
+    to, and one map-side-combinable distinct-agg per target day does
+    the rest. Shuffle volume is |distinct (user,day)| x window_days of
+    16-byte rows — independent of event count; days with no traffic of
+    their own still get correct trailing rows. The single-row max-day
+    aggregate attaches via broadcast to trim phantom days past the
+    corpus edge."""
+    pairs = (events.select(_day_num().alias("day_num"), "user_id")
+             .distinct())
+    expanded = pairs.select(
+        F.explode(F.sequence(
+            F.col("day_num"),
+            F.col("day_num") + (window_days - 1))).alias("day_t"),
+        "day_num", "user_id")
+    max_day = pairs.agg(F.max("day_num").alias("max_day"))
+    return (expanded.groupBy("day_t")
+            .agg(F.count_distinct(
+                     F.when(F.col("day_t") == F.col("day_num"),
+                            F.col("user_id"))).alias("users_1d"),
+                 F.count_distinct("user_id").alias("users_7d"))
+            .crossJoin(F.broadcast(max_day))
+            .where(F.col("day_t") <= F.col("max_day"))
+            .select(F.col("day_t").alias("day_num"),
+                    "users_1d", "users_7d"))
+
+
+def trending_scores(events: DataFrame, max_age_days: int = 30) -> DataFrame:
+    """Exponential-decay trending score per event type with EXACT
+    integer arithmetic: weight(age) = 2^(max_age - age), so recent
+    days dominate geometrically and the score is a BIGINT sum —
+    order-independent (no float-summation nondeterminism) and
+    bit-identical across engines, unlike pow(0.5, age) which routes
+    through exp/ln. Per-(type, day) counts are map-side-combined; the
+    max-day scalar attaches via a one-row broadcast."""
+    per = (events.groupBy("event_type", _day_num().alias("day_num"))
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    max_day = per.agg(F.max("day_num").alias("max_day"))
+    age = F.col("max_day") - F.col("day_num")
+    weighted = (per.crossJoin(F.broadcast(max_day))
+                .where(age <= max_age_days)
+                .withColumn(
+                    "w_cnt",
+                    F.col("cnt") * F.expr(
+                        f"shiftleft(cast(1 as bigint), "
+                        f"cast({max_age_days} - (max_day - day_num) "
+                        f"as int))")))
+    return (weighted.groupBy("event_type")
+            .agg(F.sum("w_cnt").alias("trend_score"),
+                 F.count(F.lit(1)).alias("days_covered")))
+
+
 def coalesce_intervals(events: DataFrame) -> DataFrame:
     """Merge overlapping per-user activity intervals (gaps-and-islands).
 

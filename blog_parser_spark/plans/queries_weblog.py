@@ -419,3 +419,57 @@ FROM withse
 def q_experiment_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.read_table(spark, sf_dir, "events")
     return weblog.ab_experiment(ev)
+
+
+# ---------------------------------------------------------------------------
+# rolling_distinct_users — trailing-7-day distinct users per day, the
+# metric SQL spells COUNT(DISTINCT) OVER (RANGE 7 DAYS) — which Spark
+# does not support over windows at all. Distributed formulation: dedup
+# to (user, day) pairs FIRST, fan each pair out to the 7 target days it
+# contributes to, one distinct-agg per day. Shuffle volume =
+# |distinct pairs| x 7 sixteen-byte rows, independent of event count.
+# ---------------------------------------------------------------------------
+
+@register("rolling_distinct_users", """
+WITH pairs AS (
+  SELECT DISTINCT epoch_us(ts) // 1000000 // 86400 AS day_num, user_id
+  FROM events),
+expanded AS (
+  SELECT day_num + k AS day_t, day_num, user_id
+  FROM pairs, (SELECT unnest(range(7)) AS k)),
+m AS (SELECT MAX(day_num) AS max_day FROM pairs)
+SELECT day_t AS day_num,
+       CAST(COUNT(DISTINCT CASE WHEN day_t = day_num THEN user_id END)
+            AS BIGINT) AS users_1d,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+FROM expanded, m WHERE day_t <= max_day GROUP BY day_t
+""")
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    return weblog.rolling_distinct_users(ev)
+
+
+# ---------------------------------------------------------------------------
+# trending_event_types — exponential-decay trending with EXACT integer
+# weights (2^(30 - age) via bigint shift): a BIGINT sum is
+# order-independent, so no float-summation nondeterminism and no
+# pow()'s exp/ln route. Per-(type, day) counts map-side-combine; the
+# max-day scalar attaches via one-row broadcast.
+# ---------------------------------------------------------------------------
+
+@register("trending_event_types", """
+WITH per AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day_num,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+m AS (SELECT MAX(day_num) AS max_day FROM per)
+SELECT event_type,
+       CAST(SUM(cnt * (CAST(1 AS BIGINT) << CAST(30 - (max_day - day_num)
+            AS INT))) AS BIGINT) AS trend_score,
+       CAST(COUNT(*) AS BIGINT) AS days_covered
+FROM per, m WHERE max_day - day_num <= 30
+GROUP BY event_type
+""")
+def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    return weblog.trending_scores(ev)

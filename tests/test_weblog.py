@@ -184,3 +184,36 @@ def test_ab_experiment_degenerate_z_is_null(spark):
         " value double")
     r = weblog.ab_experiment(ev).collect()[0]
     assert r.z_score is None and r.rate_a == 1.0 and r.rate_b == 1.0
+
+
+def test_rolling_distinct_users_hand_case(spark):
+    def d(n, u):
+        return (n * 10 + u, dt.datetime(1970, 1, 1) + dt.timedelta(days=n), u)
+    # day 0: users 1,2; day 3: user 2; day 8: user 3.
+    ev = spark.createDataFrame(
+        [d(0, 1), d(0, 2), d(0, 2), d(3, 2), d(8, 3)],
+        "event_id long, ts timestamp, user_id long")
+    got = {r.day_num: (r.users_1d, r.users_7d)
+           for r in weblog.rolling_distinct_users(ev).collect()}
+    assert got[0] == (2, 2)
+    assert got[3] == (1, 2)          # trailing: {1,2} from day 0 + {2}
+    assert got[6] == (0, 2)          # no events that day, trailing holds
+    assert got[7] == (0, 1)          # day 0 expired, day 3's user 2 remains
+    assert got[8] == (1, 2)          # day 3 (user 2) still in [2, 8]
+    assert max(got) == 8             # phantom days past max trimmed
+    assert 1 not in got or got[1] == (0, 2)
+
+
+def test_trending_scores_recency_dominates(spark):
+    # Same total count, but type "hot" is all on the last day while
+    # "cold" is spread long ago -> hot must outscore cold.
+    rows = [(i, dt.datetime(2024, 1, 30), 1, "hot") for i in range(5)]
+    rows += [(100 + i, dt.datetime(2024, 1, 1 + i), 1, "cold")
+             for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.event_type: r.trend_score
+           for r in weblog.trending_scores(ev).collect()}
+    assert got["hot"] == 5 * (1 << 30)
+    assert got["cold"] < got["hot"]
+    assert got["cold"] == sum(1 << (30 - (29 - i)) for i in range(5))
