@@ -313,3 +313,31 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         logit.alias("logit"),
         F.round(score, 12).alias("quality_prob"),
         (logit > 0).alias("keep"))
+
+
+# Entity patterns shared verbatim with the DuckDB oracle (both RE2- and
+# Java-regex-compatible: no lookaround, no \b — word boundaries differ
+# subtly between engines).
+ENTITY_PATTERNS = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}",
+    "ipv4": "(?:[0-9]{1,3}[.]){3}[0-9]{1,3}",
+    "hashtag": "#[a-z0-9_]+",
+}
+
+
+def entity_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Entity-mention census over raw text: regexp_extract_all per
+    entity type (JVM-side, one scan — the per-type extracts are
+    parallel expressions on the same row, not separate passes), double
+    explode to (type, mention), then a map-side-combined count.
+    Returns (entity_type, n_mentions, n_distinct)."""
+    ents = (docs.select(F.explode(F.array(*[
+        F.struct(F.lit(t).alias("entity_type"),
+                 F.regexp_extract_all(F.col(text_col), F.lit(rx),
+                                      F.lit(0)).alias("ms"))
+        for t, rx in ENTITY_PATTERNS.items()])).alias("e"))
+        .select(F.col("e.entity_type").alias("entity_type"),
+                F.explode("e.ms").alias("entity")))
+    return (ents.groupBy("entity_type")
+            .agg(F.count(F.lit(1)).alias("n_mentions"),
+                 F.count_distinct("entity").alias("n_distinct")))

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import weblog
+from ..operators.textstats import ENTITY_PATTERNS as _EP
 from ..sources import io
 from .registry import register
 
@@ -473,3 +474,104 @@ GROUP BY event_type
 def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.read_table(spark, sf_dir, "events")
     return weblog.trending_scores(ev)
+
+
+# ---------------------------------------------------------------------------
+# dq_expectations — declarative data-quality audit (operators/dq.py):
+# four row-level rules over orders evaluate in ONE conditional
+# aggregate (adding a rule adds a codegen expression, never a scan),
+# plus the inherently-second-aggregate key-uniqueness rule, unioned.
+# Only per-rule counters leave the executors. NULL rule results count
+# as violations.
+# ---------------------------------------------------------------------------
+
+@register("dq_expectations", """
+WITH row_rules AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN COALESCE(o_custkey IS NOT NULL, FALSE)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+         CAST(SUM(CASE WHEN COALESCE(o_totalprice BETWEEN 0 AND 1000000,
+                                     FALSE) THEN 0 ELSE 1 END)
+              AS BIGINT) AS v1,
+         CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O', 'F', 'P'),
+                                     FALSE) THEN 0 ELSE 1 END)
+              AS BIGINT) AS v2,
+         CAST(SUM(CASE WHEN COALESCE(regexp_matches(o_orderpriority,
+                  '^[1-5]-[A-Z ]+$'), FALSE) THEN 0 ELSE 1 END)
+              AS BIGINT) AS v3
+  FROM orders),
+uniq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+           AS n_violations
+  FROM orders),
+report AS (
+  SELECT 'custkey_not_null' AS rule, n_checked, v0 AS n_violations
+    FROM row_rules
+  UNION ALL SELECT 'totalprice_in_range', n_checked, v1 FROM row_rules
+  UNION ALL SELECT 'status_in_set', n_checked, v2 FROM row_rules
+  UNION ALL SELECT 'priority_format', n_checked, v3 FROM row_rules
+  UNION ALL SELECT 'unique_o_orderkey', n_checked, n_violations FROM uniq)
+SELECT rule, n_checked, n_violations,
+       CAST(n_violations = 0 AS BIGINT) AS passed
+FROM report
+""")
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dq
+    orders = io.read_table(spark, sf_dir, "orders")
+    rules = [
+        ("custkey_not_null", F.col("o_custkey").isNotNull()),
+        ("totalprice_in_range", F.col("o_totalprice").between(0, 1000000)),
+        ("status_in_set", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("priority_format", F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")),
+    ]
+    return (dq.run_expectations(orders, rules)
+            .unionByName(dq.expect_unique(orders, "o_orderkey")))
+
+
+# ---------------------------------------------------------------------------
+# entity_extract_census — entity-mention census (emails, IPv4s,
+# hashtags) via regexp_extract_all: one scan (the per-type extracts are
+# parallel expressions on the same row), double explode, map-side-
+# combined count. Patterns are interpolated from ONE Python constant
+# into both engines, and avoid \\b / lookaround where RE2 and Java
+# regex diverge. Fixture appends deterministic entities to each doc.
+# ---------------------------------------------------------------------------
+
+_ENTITY_SYNTH_SQL = """
+  SELECT doc_id,
+         text || ' contact admin' || CAST(doc_id % 20 AS VARCHAR)
+              || '@' || source || '.example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST(doc_id % 100 AS VARCHAR)
+              || ' tag #topic' || CAST(doc_id % 8 AS VARCHAR) AS t
+  FROM documents
+"""
+
+@register("entity_extract_census", ("""
+WITH docs2 AS ({synth}),
+ents AS (
+  SELECT 'email' AS entity_type,
+         unnest(regexp_extract_all(t, '{email}')) AS entity FROM docs2
+  UNION ALL
+  SELECT 'ipv4', unnest(regexp_extract_all(t, '{ipv4}')) FROM docs2
+  UNION ALL
+  SELECT 'hashtag', unnest(regexp_extract_all(t, '{hashtag}')) FROM docs2)
+SELECT entity_type, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT entity) AS BIGINT) AS n_distinct
+FROM ents GROUP BY entity_type
+""").replace("{synth}", _ENTITY_SYNTH_SQL)
+          .replace("{email}", _EP["email"])
+          .replace("{ipv4}", _EP["ipv4"])
+          .replace("{hashtag}", _EP["hashtag"]))
+def q_entity_extract_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats
+    docs = io.read_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact admin"),
+        (F.col("doc_id") % 20).cast("string"), F.lit("@"),
+        F.col("source"), F.lit(".example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.col("doc_id") % 100).cast("string"), F.lit(" tag #topic"),
+        (F.col("doc_id") % 8).cast("string"))
+    return textstats.entity_census(docs.select("doc_id", t.alias("t")), "t")

@@ -217,3 +217,36 @@ def test_trending_scores_recency_dominates(spark):
     assert got["hot"] == 5 * (1 << 30)
     assert got["cold"] < got["hot"]
     assert got["cold"] == sum(1 << (30 - (29 - i)) for i in range(5))
+
+
+def test_dq_expectations_null_counts_as_violation(spark):
+    from blog_parser_spark.operators import dq
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 2000000.0)], "k long, price double")
+    got = {r.rule: (r.n_checked, r.n_violations, r.passed)
+           for r in dq.run_expectations(
+               df, [("price_in_range",
+                     F.col("price").between(0, 1000000))]).collect()}
+    # NULL predicate result (row 2) AND the out-of-range row both violate.
+    assert got["price_in_range"] == (3, 2, 0)
+
+
+def test_dq_expect_unique_counts_extras(spark):
+    from blog_parser_spark.operators import dq
+    df = spark.createDataFrame([(1,), (1,), (1,), (2,)], "k long")
+    r = dq.expect_unique(df, "k").collect()[0]
+    # three 1s = two extra rows beyond the first
+    assert (r.n_checked, r.n_violations, r.passed) == (4, 2, 0)
+
+
+def test_entity_census_hand_case(spark):
+    from blog_parser_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com and a@b.com from 1.2.3.4 tag #x"),
+         (2, "no entities here")],
+        "doc_id long, text string")
+    got = {r.entity_type: (r.n_mentions, r.n_distinct)
+           for r in textstats.entity_census(docs).collect()}
+    assert got["email"] == (2, 1)
+    assert got["ipv4"] == (1, 1)
+    assert got["hashtag"] == (1, 1)
