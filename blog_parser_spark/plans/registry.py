@@ -49,11 +49,13 @@ def register(name: str, sql: str | None = None):
 # agg_bitmap_rollup, win_sessionize, udaf_grouped_agg,
 # grouped_map_cumsum, fn_struct, graph_degree, log_anomaly_zscore,
 # graph_triangle_count, agg_incremental_partials, cohort_retention,
-# agg_ohlc_resample, agg_embedding_centroid — plus the ten r4-added
+# agg_ohlc_resample, agg_embedding_centroid — plus the r4-added
 # operators (parse_log_templates, parse_multiline_stack,
 # enrich_ip_cidr, parse_useragent, clickpath_transitions,
 # interval_coalesce, slo_burn_rate, bot_score, schema_drift_census,
-# snapshot_diff_audit), making 39. Swap them in (plus 11 re-proofs of
+# snapshot_diff_audit, text_boilerplate_strip, experiment_ab_lift,
+# rolling_distinct_users, trending_event_types, dq_expectations,
+# entity_extract_census), making 45. Swap them in (plus 5 re-proofs of
 # the oldest r1 rows) next round the same way.
 DRIVER_WINDOW: list[str] = [
     # TPC-H pack (18) — q1/q3/q5/q6 were driver-green in r3
