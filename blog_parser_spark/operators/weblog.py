@@ -132,6 +132,37 @@ def bot_score(events: DataFrame) -> DataFrame:
             .drop("bot_hits", "error_hits"))
 
 
+def attribution_last_touch(events: DataFrame,
+                           lookback_s: int = 604800) -> DataFrame:
+    """Last-touch purchase attribution: each purchase credits the most
+    recent PRECEDING non-purchase event of the same user within the
+    lookback window; purchases with no touch in-window credit 'direct'.
+
+    One window per user (ordered by ts with the event_id unique
+    tie-break) carries a (ts, type) struct through last(...,
+    ignorenulls) — per-key parallel, no global sort — then a
+    map-side-combined count per channel. Timestamps compare as integer
+    epoch seconds."""
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase",
+               F.struct(epoch.alias("ts_s"),
+                        F.col("event_type").alias("et"))),
+        ignorenulls=True).over(w)
+    seq = events.select(epoch.alias("ts_s"), "event_type",
+                        "user_id", "event_id", touch.alias("prev"))
+    channel = (F.when(F.col("prev").isNull()
+                      | (F.col("prev.ts_s")
+                         < F.col("ts_s") - lookback_s), "direct")
+               .otherwise(F.col("prev.et")))
+    return (seq.where(F.col("event_type") == "purchase")
+            .groupBy(channel.alias("channel"))
+            .agg(F.count(F.lit(1)).alias("purchases"),
+                 F.count_distinct("user_id").alias("uniq_buyers")))
+
+
 def ab_experiment(events: DataFrame) -> DataFrame:
     """Two-variant experiment readout: deterministic assignment by
     60-bit md5 user hash (% 2), per-user conversion = any purchase

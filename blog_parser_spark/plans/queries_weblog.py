@@ -575,3 +575,32 @@ def q_entity_extract_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 100).cast("string"), F.lit(" tag #topic"),
         (F.col("doc_id") % 8).cast("string"))
     return textstats.entity_census(docs.select("doc_id", t.alias("t")), "t")
+
+
+# ---------------------------------------------------------------------------
+# attribution_last_touch — marketing attribution: each purchase credits
+# the user's most recent preceding non-purchase event within a 7-day
+# lookback, else 'direct'. One per-user window (ts + event_id unique
+# tie-break) carries a (ts, type) struct via last(... ignore nulls);
+# integer-second time comparison; map-side-combined channel counts.
+# ---------------------------------------------------------------------------
+
+@register("attribution_last_touch", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // 1000000 AS ts_s,
+         last_value(CASE WHEN event_type <> 'purchase'
+             THEN struct_pack(ts_s := epoch_us(ts) // 1000000,
+                              et := event_type) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM events)
+SELECT CASE WHEN prev IS NULL OR prev.ts_s < ts_s - 604800
+            THEN 'direct' ELSE prev.et END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_buyers
+FROM seq WHERE event_type = 'purchase' GROUP BY 1
+""")
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.read_table(spark, sf_dir, "events")
+    return weblog.attribution_last_touch(ev)

@@ -250,3 +250,65 @@ def test_entity_census_hand_case(spark):
     assert got["email"] == (2, 1)
     assert got["ipv4"] == (1, 1)
     assert got["hashtag"] == (1, 1)
+
+
+def test_attribution_last_touch_hand_case(spark):
+    t0 = dt.datetime(2024, 1, 10)
+
+    def at(**kw):
+        return t0 + dt.timedelta(**kw)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: view then purchase 1h later -> credit view
+            (1, at(hours=0), 1, "view"),
+            (2, at(hours=1), 1, "purchase"),
+            # user 1: second purchase 10 days after the view -> direct
+            (3, at(days=10), 1, "purchase"),
+            # user 2: purchase with no preceding touch -> direct
+            (4, at(hours=0), 2, "purchase"),
+            # user 2: click then purchase same microsecond, later
+            # event_id -> tie-break orders click first -> credit click
+            (5, at(hours=2), 2, "click"),
+            (6, at(hours=2), 2, "purchase"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.channel: (r.purchases, r.uniq_buyers)
+           for r in weblog.attribution_last_touch(ev).collect()}
+    assert got["view"] == (1, 1)
+    assert got["direct"] == (2, 2)
+    assert got["click"] == (1, 1)
+
+
+def test_interval_coalesce_matches_bruteforce(spark):
+    """Randomized (seeded) intervals vs a brute-force Python merge."""
+    import random
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(1, 6):
+        for _ in range(40):
+            start = rng.randrange(0, 5000)
+            rows.append((eid, dt.datetime(1970, 1, 1)
+                         + dt.timedelta(seconds=start), user))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    got = {r.user_id: (r.n_sessions, r.covered_s, r.longest_s)
+           for r in weblog.coalesce_intervals(ev).collect()}
+
+    # brute force: same derived intervals, classic merge
+    per_user = {}
+    for eid_, ts, user in rows:
+        s = int(ts.timestamp())
+        per_user.setdefault(user, []).append((s, s + 60 + eid_ % 240))
+    for user, ivs in per_user.items():
+        merged = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        want = (len(merged), sum(e - s for s, e in merged),
+                max(e - s for s, e in merged))
+        assert got[user] == want, f"user {user}"
