@@ -1,0 +1,55 @@
+"""One weblog-scaling run: fresh JVM at a given parallelism, timed
+executions of the round-4 web-log operators over pre-materialized
+corpora. Spawned by tools/weblog_scale_bench.py; prints one JSON line.
+
+Usage: python tools/weblog_run.py <docs_parquet> <events_parquet> <cores> <n_runs>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    docs_path, events_path = sys.argv[1], sys.argv[2]
+    cores, n_runs = int(sys.argv[3]), int(sys.argv[4])
+    from blog_parser_spark.operators import boilerplate, weblog
+    from blog_parser_spark.session import get_spark
+
+    spark = get_spark(f"weblog-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=4 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(docs_path)
+    events = spark.read.parquet(events_path)
+    n_docs, n_events = docs.count(), events.count()
+
+    legs = {
+        "boilerplate_strip":
+            boilerplate.strip_boilerplate(boilerplate.synth_pages(docs)),
+        "rolling_distinct_users": weblog.rolling_distinct_users(events),
+        "attribution_last_touch": weblog.attribution_last_touch(events),
+    }
+
+    out: dict[str, object] = {"cores": cores, "docs": n_docs,
+                              "events": n_events}
+    for name, df in legs.items():
+        def run() -> float:
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            return time.time() - t0
+
+        run()  # warmup (codegen + worker spawn), excluded as per-JVM cost
+        times = sorted(run() for _ in range(n_runs))
+        # best-of-n: the VM host shows sporadic multi-second steal
+        # outliers; best is the engine's sustained rate
+        out[name] = {"runs_sec": [round(t, 2) for t in times],
+                     "best_sec": round(times[0], 3)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
