@@ -308,7 +308,11 @@ def rolling_distinct_users(events: DataFrame,
     16-byte rows — independent of event count; days with no traffic of
     their own still get correct trailing rows. The single-row max-day
     aggregate attaches via broadcast to trim phantom days past the
-    corpus edge."""
+    corpus edge.
+
+    The fan-out factor IS window_days: for 90-day windows prefer the
+    registry's mergeable exact bitmaps (agg_bitmap_rollup) or the
+    approximate HLL sketch union (agg_hll_union) instead."""
     pairs = (events.select(_day_num().alias("day_num"), "user_id")
              .distinct())
     expanded = pairs.select(
