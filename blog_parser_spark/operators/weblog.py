@@ -321,11 +321,19 @@ def rolling_distinct_users(events: DataFrame,
             F.col("day_num") + (window_days - 1))).alias("day_t"),
         "day_num", "user_id")
     max_day = pairs.agg(F.max("day_num").alias("max_day"))
-    return (expanded.groupBy("day_t")
-            .agg(F.count_distinct(
-                     F.when(F.col("day_t") == F.col("day_num"),
-                            F.col("user_id"))).alias("users_1d"),
-                 F.count_distinct("user_id").alias("users_7d"))
+    # Two-stage plain aggregation instead of two COUNT(DISTINCT)s: a
+    # double distinct-agg plans an Expand (2x the exploded rows) and
+    # funnels the dedup merge into |days| final groups — measured 0.37
+    # scaling efficiency at 2->8 cores on 16M events. Deduping to
+    # (day_t, user) first keeps the heavy phase keyed on a
+    # high-cardinality composite (fully parallel, map-side combined);
+    # the final per-day count is a trivial rollup of pre-deduped rows.
+    per_user_day = (expanded.groupBy("day_t", "user_id")
+                    .agg(F.max((F.col("day_t") == F.col("day_num"))
+                               .cast("long")).alias("on_day")))
+    return (per_user_day.groupBy("day_t")
+            .agg(F.sum("on_day").alias("users_1d"),
+                 F.count(F.lit(1)).alias("users_7d"))
             .crossJoin(F.broadcast(max_day))
             .where(F.col("day_t") <= F.col("max_day"))
             .select(F.col("day_t").alias("day_num"),
