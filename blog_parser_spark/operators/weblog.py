@@ -157,10 +157,18 @@ def attribution_last_touch(events: DataFrame,
                       | (F.col("prev.ts_s")
                          < F.col("ts_s") - lookback_s), "direct")
                .otherwise(F.col("prev.et")))
-    return (seq.where(F.col("event_type") == "purchase")
-            .groupBy(channel.alias("channel"))
-            .agg(F.count(F.lit(1)).alias("purchases"),
-                 F.count_distinct("user_id").alias("uniq_buyers")))
+    # Two-stage plain aggregation instead of count + COUNT(DISTINCT):
+    # the mixed distinct-agg plans an Expand (2x the purchase rows
+    # through the shuffle) and funnels the dedup merge into ~5 channel
+    # groups. Pre-aggregating per (channel, user) keeps the heavy phase
+    # on a high-cardinality composite key (map-side combined, fully
+    # parallel); the final per-channel rollup is then trivial.
+    per_user = (seq.where(F.col("event_type") == "purchase")
+                .groupBy(channel.alias("channel"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n")))
+    return (per_user.groupBy("channel")
+            .agg(F.sum("n").alias("purchases"),
+                 F.count(F.lit(1)).alias("uniq_buyers")))
 
 
 def ab_experiment(events: DataFrame) -> DataFrame:

@@ -55,8 +55,9 @@ def register(name: str, sql: str | None = None):
 # interval_coalesce, slo_burn_rate, bot_score, schema_drift_census,
 # snapshot_diff_audit, text_boilerplate_strip, experiment_ab_lift,
 # rolling_distinct_users, trending_event_types, dq_expectations,
-# entity_extract_census), making 45. Swap them in (plus 5 re-proofs of
-# the oldest r1 rows) next round the same way.
+# entity_extract_census, referrer_classify, bounce_rate_entry,
+# attribution_linear, percolate_match, sketch_count_min), making 50
+# exactly. Swap them in next round the same way.
 DRIVER_WINDOW: list[str] = [
     # TPC-H pack (18) — q1/q3/q5/q6 were driver-green in r3
     "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
