@@ -127,6 +127,18 @@ def main() -> None:
         "snapshot_diff_audit (map-side md5 fingerprint reduction -> "
         "one full-outer join on 48 B/row)":
             qs["snapshot_diff_audit"](spark, SF_DIR),
+        "rolling_distinct_users (two-stage plain aggs — NO Expand node; "
+        "a double COUNT DISTINCT would plan one)":
+            qs["rolling_distinct_users"](spark, SF_DIR),
+        "attribution_linear (left hash join on user_id, window keyed on "
+        "unique purchase id, exact BIGINT micro-credit)":
+            qs["attribution_linear"](spark, SF_DIR),
+        "percolate_match (inverted percolator — anchor equi-join against "
+        "the broadcast registry before any shuffle)":
+            qs["percolate_match"](spark, SF_DIR),
+        "sketch_count_min (stream collapses to <=4096 additive cells; "
+        "probes broadcast-join the sketch)":
+            qs["sketch_count_min"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
