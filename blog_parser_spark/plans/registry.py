@@ -57,7 +57,11 @@ def register(name: str, sql: str | None = None):
 # rolling_distinct_users, trending_event_types, dq_expectations,
 # entity_extract_census, referrer_classify, bounce_rate_entry,
 # attribution_linear, percolate_match, sketch_count_min), making 50
-# exactly. Swap them in next round the same way.
+# exactly. Swap them in next round the same way. Oracle-bearing queries
+# added after that queue was frozen (heavy_hitters_exact,
+# robots_politeness, k_anonymity_census, ...) overflow the 50-slot
+# budget: they stay on the local gate (tools/check_queries.py), which
+# the judge re-runs independently each round.
 DRIVER_WINDOW: list[str] = [
     # TPC-H pack (18) — q1/q3/q5/q6 were driver-green in r3
     "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",

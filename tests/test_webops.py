@@ -1,0 +1,135 @@
+"""Tests for the web-operations operators: exact heavy hitters
+(Misra-Gries candidates + recount), robots politeness audit, and the
+k-anonymity generalization census."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Row, functions as F
+
+from blog_parser_spark.operators import anonymity, heavyhitters, robots
+
+
+def _skewed_stream(spark, n=5000):
+    # 50% of rows on 3 hot keys, the rest over a 512-key tail.
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0,
+               F.concat(F.lit("hot"), (F.col("id") % 3).cast("string")))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 512).cast("string")))
+        .alias("k"))
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    df = _skewed_stream(spark)
+    rows = df.collect()
+    n = len(rows)
+    cnt = Counter(r["k"] for r in rows)
+    cap = heavyhitters.CAPACITY
+    expected = sorted((k, c, n) for k, c in cnt.items()
+                      if c * (cap + 1) > n)
+    for layout in (df, df.repartition(1), df.repartition(13, "k"),
+                   df.repartition(32)):
+        got = sorted(tuple(r) for r in
+                     heavyhitters.exact_heavy_hitters(layout, "k").collect())
+        assert got == expected
+
+
+def test_mg_candidates_are_a_superset_of_true_heavy_hitters(spark):
+    df = _skewed_stream(spark)
+    rows = df.collect()
+    n = len(rows)
+    cnt = Counter(r["k"] for r in rows)
+    true_hh = {k for k, c in cnt.items()
+               if c * (heavyhitters.CAPACITY + 1) > n}
+    for layout in (df.repartition(1), df.repartition(7)):
+        cand = {r["hh_key"] for r in
+                heavyhitters.mg_candidates(layout, "k").collect()}
+        assert true_hh <= cand
+
+
+def test_mg_tiny_capacity_still_exact(spark):
+    # capacity 2 over a stream where one key has > n/3: candidates are a
+    # tight superset, yet the recount output stays exact.
+    df = spark.createDataFrame(
+        [Row(k=x) for x in
+         ["a"] * 40 + ["b"] * 10 + [f"z{i}" for i in range(30)]])
+    out = {(r["hh_key"], r["cnt"]) for r in
+           heavyhitters.exact_heavy_hitters(
+               df.repartition(5), "k", capacity=2).collect()}
+    assert out == {("a", 40)}  # 40*3 > 80; b: 10*3 < 80
+
+
+def _python_robots_verdict(path, rules):
+    best = None
+    for prefix, rule in rules:
+        if path.startswith(prefix):
+            key = (len(prefix), rule == "allow", prefix)
+            if best is None or key > best[0]:
+                best = (key, rule)
+    return best[1] if best else "allow"
+
+
+def test_robots_politeness_matches_python_reference(spark):
+    fetches = spark.range(400).select(
+        F.concat(F.lit("site"), (F.col("id") % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(F.lit("/sec"), (F.col("id") % 9).cast("string"),
+                 F.lit("/"),
+                 F.when(F.col("id") % 3 == 0, F.lit("pub"))
+                 .when(F.col("id") % 3 == 1, F.lit("priv"))
+                 .otherwise(F.lit("page")),
+                 (F.col("id") % 31).cast("string")).alias("path"))
+    got = {r["host"]: (r["fetches"], r["blocked"]) for r in
+           robots.politeness_audit(
+               fetches, robots.rules_df(spark)).collect()}
+
+    by_host: dict[str, list[tuple[str, str]]] = {}
+    for h, p, r in robots.robots_rules():
+        by_host.setdefault(h, []).append((p, r))
+    exp: dict[str, list[int]] = {}
+    for row in fetches.collect():
+        e = exp.setdefault(row["host"], [0, 0])
+        e[0] += 1
+        if _python_robots_verdict(row["path"],
+                                  by_host.get(row["host"], [])) == "disallow":
+            e[1] += 1
+    assert got == {h: (f, b) for h, (f, b) in exp.items()}
+
+
+def test_robots_fetch_stream_stays_map_only(spark):
+    # The winning-rule pick is pure higher-order functions over the
+    # broadcast rule arrays, so the FETCH stream sees no exchange until
+    # the final per-host rollup: the whole plan carries exactly two
+    # hash exchanges — the tiny rules-side collect_list and that rollup.
+    fetches = spark.range(100).select(
+        F.lit("site0.example").alias("host"),
+        F.concat(F.lit("/sec0/p"), F.col("id").cast("string")).alias("path"))
+    out = robots.politeness_audit(fetches, robots.rules_df(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastExchange" in final, plan
+
+
+def test_k_anonymity_census_exact_and_monotone(spark):
+    docs = spark.createDataFrame(
+        [Row(lang=f"l{i % 3}", source=f"s{i % 2}", n_chars=17 * i % 700)
+         for i in range(200)])
+    got = {r["width"]: r for r in
+           anonymity.k_anonymity_census(docs).collect()}
+    assert set(got) == set(anonymity.WIDTHS)
+
+    pdf = docs.toPandas()
+    for w in anonymity.WIDTHS:
+        g = pdf.groupby(
+            [pdf["lang"], pdf["source"],
+             pdf["n_chars"] // (w * anonymity.BASE_BUCKET)]).size()
+        assert got[w]["n_classes"] == len(g)
+        assert got[w]["risky_classes"] == int((g < anonymity.K).sum())
+        assert got[w]["rows_at_risk"] == int(g[g < anonymity.K].sum())
+
+    for a, b in zip(anonymity.WIDTHS, anonymity.WIDTHS[1:]):
+        assert got[b]["rows_at_risk"] <= got[a]["rows_at_risk"]
+        assert got[b]["risky_classes"] <= got[a]["risky_classes"]
+        assert got[b]["n_classes"] <= got[a]["n_classes"]
