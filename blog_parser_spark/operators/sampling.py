@@ -36,6 +36,21 @@ def sample_fraction(df: DataFrame, key_col: str, ppm: int) -> DataFrame:
         F.pmod(row_hash(F.col(key_col).cast("string")), F.lit(HASH_MOD)) < ppm)
 
 
+def sample_exact_k(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Exactly-k deterministic global sample: the k rows with the
+    smallest row hashes (key ascending breaks the astronomically-rare
+    hash tie, keeping the order total). orderBy+limit plans as
+    TakeOrderedAndProject — per-partition k-heaps merged on the driver,
+    never a global sort (asserted in tests/test_ml_ops.py).
+
+    This is bottom-k / consistent sampling: the bottom-k of a UNION is
+    computable from the per-shard bottom-k alone, so per-day samples
+    merge into a per-month sample without touching the raw data, and
+    the same row set comes back at any cluster size or retry."""
+    h = F.pmod(row_hash(F.col(key_col).cast("string")), F.lit(HASH_MOD))
+    return df.orderBy(h.asc(), F.col(key_col).asc()).limit(k)
+
+
 def sample_mixture(df: DataFrame, key_col: str, group_col: str,
                    weights_ppm: dict[str, int],
                    default_ppm: int = 0) -> DataFrame:

@@ -121,6 +121,55 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
             .select("doc_id", "term", "tfidf", "rank"))
 
 
+def positional_index(docs: DataFrame,
+                     terms: list[str] | None = None) -> DataFrame:
+    """(doc_id, term, positions) — the phrase-query index: one
+    posexplode + one hash aggregate; positions sorted ascending so the
+    list is a pure function of the data. When `terms` is given, the
+    exploded stream filters to those terms BEFORE the shuffle (the
+    BM25 convention) — at corpus scale the per-term postings never
+    materialize for terms the query doesn't mention."""
+    posed = docs.select(
+        "doc_id", F.posexplode(_words()).alias("pos", "term"))
+    if terms is not None:
+        posed = posed.filter(F.col("term").isin(terms))
+    return (posed.groupBy("doc_id", "term")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions")))
+
+
+def phrase_match(docs: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact consecutive-phrase search via the positional index:
+    (doc_id, occurrences) for documents containing the phrase.
+
+    Each document's candidate rows collapse to one term→positions map
+    (tiny: only the phrase's distinct terms survive the pre-shuffle
+    filter); an occurrence is a start position p of the first term
+    with term_i at p+i for every i — evaluated with pure higher-order
+    functions, no token re-scan. A document missing ANY phrase term
+    drops at the map-completeness check, so repeated-term phrases
+    ("a b a") and single-term phrases both stay correct.
+    """
+    assert phrase, "phrase must be non-empty"
+    distinct_terms = sorted(set(phrase))
+    tp = (positional_index(docs, distinct_terms)
+          .groupBy("doc_id")
+          .agg(F.map_from_entries(
+              F.sort_array(F.collect_list(F.struct("term", "positions"))))
+              .alias("tp"))
+          .filter(F.size("tp") == len(distinct_terms)))
+
+    def is_occurrence(p: Column) -> Column:
+        cond = F.lit(True)
+        for i, w in enumerate(phrase[1:], start=1):
+            cond = cond & F.array_contains(
+                F.col("tp")[F.lit(w)], p + F.lit(i))
+        return cond
+
+    occ = F.size(F.filter(F.col("tp")[F.lit(phrase[0])], is_occurrence))
+    return (tp.select("doc_id", occ.cast("long").alias("occurrences"))
+            .filter(F.col("occurrences") > 0))
+
+
 def domain_suffixes(domain: Column) -> Column:
     """a.b.c → [a.b.c, b.c, c] — every suffix at a label boundary."""
     labels = F.split(domain, "\\.")

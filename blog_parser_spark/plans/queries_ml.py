@@ -478,6 +478,21 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang"))
 
 
+@register("sample_exact_k", """
+SELECT doc_id, lang FROM documents
+ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 1000000 ASC, doc_id ASC
+LIMIT 50
+""")
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 global bottom-k (consistent) sample — mergeable
+    across shards, reproducible at any parallelism; plans as
+    TakeOrderedAndProject, never a global sort."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    return sampling.sample_exact_k(docs, "doc_id", 50).select(
+        "doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # the composite training-data pipeline — quality filter -> lang filter ->
 # exact dedup -> deterministic sample, chained end-to-end as ONE plan.

@@ -313,3 +313,33 @@ def q_search_sentences_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.col("sentence").alias("text"))
     return search.bm25_topk(units, _SENT_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# search_phrase_match — exact consecutive-phrase query via the
+# positional index: the posexploded stream filters to the phrase's
+# terms BEFORE any shuffle, each candidate doc collapses to one
+# term→positions map, and occurrences are counted with higher-order
+# functions (no token re-scan). The oracle walks the token list
+# directly — same counts, different road.
+# ---------------------------------------------------------------------------
+
+_PHRASE = ["table", "hash"]
+
+
+@register("search_phrase_match", f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+o AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(toks) - {len(_PHRASE) - 2}),
+              i -> {" AND ".join(f"toks[i + {j}] = '{w}'"
+                                 for j, w in enumerate(_PHRASE))}))
+           AS BIGINT) AS occurrences
+  FROM t)
+SELECT doc_id, occurrences FROM o WHERE occurrences > 0
+""")
+def q_search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    return search.phrase_match(docs, _PHRASE)

@@ -413,3 +413,25 @@ def test_split_assign_validates_and_nests(spark):
         df, "k", [("train", 700_000)], "rest").collect()}
     # widening the train cut only PROMOTES rows into train (nesting)
     assert all(s2[k] == "train" for k, v in s1.items() if v == "train")
+
+
+def test_sample_exact_k_mergeable_and_heap_planned(spark):
+    from blog_parser_spark.operators import sampling
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    full = [r["doc_id"] for r in
+            sampling.sample_exact_k(docs, "doc_id", 25).collect()]
+    assert len(full) == 25
+    # bottom-k of the union == merge of per-shard bottom-k
+    a = sampling.sample_exact_k(docs.where("doc_id % 2 = 0"), "doc_id", 25)
+    b = sampling.sample_exact_k(docs.where("doc_id % 2 = 1"), "doc_id", 25)
+    merged = [r["doc_id"] for r in
+              sampling.sample_exact_k(a.unionAll(b), "doc_id", 25).collect()]
+    assert merged == full
+    # same set at any parallelism, and never a global sort
+    again = [r["doc_id"] for r in
+             sampling.sample_exact_k(
+                 docs.repartition(17), "doc_id", 25).collect()]
+    assert again == full
+    plan = sampling.sample_exact_k(docs, "doc_id", 25)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -79,3 +79,37 @@ def test_blocklist_multiple_entries_any_match(spark):
     kept = {r["url"] for r in
             search.blocklist_filter(pages, block).collect()}
     assert kept == {"u3"}
+
+
+def test_phrase_match_counts_and_overlaps(spark):
+    docs = _docs(spark, [
+        "x table hash y table hash",   # 2 occurrences
+        "table y hash",                # terms present, never adjacent
+        "hash table",                  # reversed order only
+        "table hash",                  # exact doc == phrase
+        "no match here"])              # missing terms entirely
+    got = {r["doc_id"]: r["occurrences"] for r in
+           search.phrase_match(docs, ["table", "hash"]).collect()}
+    assert got == {0: 2, 3: 1}
+
+
+def test_phrase_match_repeated_term_and_self_overlap(spark):
+    # "a a a" contains "a a" at starts 0 and 1 (overlapping occurrences
+    # both count); the 3-term repeated phrase needs the SAME positions
+    # list consulted at two offsets.
+    docs = _docs(spark, ["a a a", "b a b a b"])
+    two = {r["doc_id"]: r["occurrences"] for r in
+           search.phrase_match(docs, ["a", "a"]).collect()}
+    assert two == {0: 2}
+    three = {r["doc_id"]: r["occurrences"] for r in
+             search.phrase_match(docs, ["b", "a", "b"]).collect()}
+    assert three == {1: 2}
+
+
+def test_phrase_match_partition_invariant(spark):
+    docs = _docs(spark, ["p q r p q", "q p", "p q"] * 7)
+    a = sorted(tuple(r) for r in
+               search.phrase_match(docs, ["p", "q"]).collect())
+    b = sorted(tuple(r) for r in
+               search.phrase_match(docs.repartition(9), ["p", "q"]).collect())
+    assert a == b and len(a) == 14
