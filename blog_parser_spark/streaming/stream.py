@@ -437,6 +437,60 @@ def anomaly_zscore_stream(events: DataFrame) -> DataFrame:
                                     GroupStateTimeout.NoTimeout))
 
 
+def read_count_min(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Merged sketch over every folded micro-batch: cell-wise sum of
+    the per-batch partial sketches (count-min cells are additive — the
+    property that makes the sketch maintainable incrementally). Scan
+    cost is |batches| x depth x width bounded rows, never the stream."""
+    return (spark.read.parquet(sketch_dir)
+            .groupBy("r", "b").agg(F.sum("n").cast("bigint").alias("n")))
+
+
+def _fold_count_min(batch_df: DataFrame, batch_id: int, sketch_dir: str,
+                    key_col: str) -> None:
+    """One micro-batch fold: write this batch's partial sketch into its
+    OWN _batch=<id> partition (dynamic overwrite). Idempotent under the
+    Structured Streaming recovery contract — a crash-replayed batch
+    arrives with the SAME batch_id and same rows, so the rewrite lands
+    on the same partition instead of double-adding."""
+    from ..operators.sketches import count_min_cells
+    cells = (count_min_cells(batch_df, key_col)
+             .withColumn("_batch", F.lit(batch_id)))
+    (cells.coalesce(1)
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch")
+     .parquet(sketch_dir))
+
+
+def start_count_min(events: DataFrame, sketch_dir: str, checkpoint: str,
+                    key_col: str = "user_id",
+                    available_now: bool = True) -> StreamingQuery:
+    """Streaming count-min sketch maintenance — the always-on frequency
+    monitor a log pipeline keeps per key (user, url, ip) without per-key
+    state: each micro-batch collapses to <= depth x width additive
+    cells (one map-side-combined aggregate) persisted as that batch's
+    partial sketch; read_count_min merges partials by cell-wise sum.
+
+    Contract boundary (same honesty rule as start_cdc_snapshot): the
+    idempotency unit is the BATCH ID — checkpoint recovery re-delivers
+    the same id and overwrites the same partition, but starting a FRESH
+    checkpoint over already-folded files is a new stream and APPENDS.
+    Per-batch partials are never compacted here; at |batches| x 4096
+    rows a year of hourly batches reads in milliseconds, and partials
+    double as a time-sliced sketch (estimate any batch range by summing
+    its partitions)."""
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_count_min(batch_df, batch_id, sketch_dir, key_col)
+
+    w = (events.writeStream
+         .foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def read_inverted_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """Queryable view of the maintained index: per-term df/total_tf are
     REBUILT from the postings structs (the idempotent source of truth),

@@ -647,3 +647,54 @@ def test_grok_parse_stream_matches_batch_and_resumes(spark, tmp_path):
     exp = groklog.requests_by_method_status(
         groklog.parse_lines(spark.read.parquet(src)))
     assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+
+
+def test_count_min_stream_matches_batch_and_recovery_is_idempotent(
+        spark, tmp_path):
+    """Per-batch partial sketches merged by cell-wise sum must equal the
+    one-shot batch sketch; re-delivering a batch with the SAME batch_id
+    (the Structured Streaming crash-recovery contract) must leave the
+    merged sketch unchanged."""
+    import os
+    import shutil
+    from blog_parser_spark.operators import sketches
+
+    ev = io.read_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    for i in range(3):
+        part_dir = str(tmp_path / f"p{i}")
+        (ev.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1)
+         .write.mode("overwrite").parquet(part_dir))
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice{i}.parquet")
+        shutil.move(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    sketch_dir = str(tmp_path / "sketch")
+    sev = (spark.readStream.schema("event_id bigint, user_id bigint")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    _await(stream.start_count_min(sev, sketch_dir, str(tmp_path / "ck")))
+
+    def merged():
+        return {(r["r"], r["b"]): r["n"] for r in
+                stream.read_count_min(spark, sketch_dir).collect()}
+
+    exp = {(r["r"], r["b"]): r["n"] for r in
+           sketches.count_min_cells(ev, "user_id").collect()}
+    got = merged()
+    assert got == exp and len(got) > 20
+
+    # crash recovery: same batch_id, same rows, folded again -> no-op
+    replay = ev.filter(F.pmod("event_id", F.lit(3)) == 1)
+    stream._fold_count_min(replay, 1, sketch_dir, "user_id")
+    assert merged() == exp
+
+    # merged partials answer point estimates exactly like the batch
+    # sketch (same cells -> same min over depth rows)
+    probes = ev.select("user_id").distinct().limit(20)
+    est_stream = {r["user_id"]: r["est"] for r in sketches.count_min_estimate(
+        stream.read_count_min(spark, sketch_dir), probes, "user_id").collect()}
+    est_batch = {r["user_id"]: r["est"] for r in sketches.count_min_estimate(
+        sketches.count_min_cells(ev, "user_id"), probes, "user_id").collect()}
+    assert est_stream == est_batch
