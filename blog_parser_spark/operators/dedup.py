@@ -300,6 +300,48 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     return labels.select(F.col("node").alias(id_col), "component")
 
 
+def containment_pairs(docs: DataFrame, threshold: float = 0.9,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_df: int | None = None) -> DataFrame:
+    """Asymmetric near-dup detection: pairs (a, b) with shingle-set
+    CONTAINMENT |S(a) ∩ S(b)| / |S(a)| >= threshold — the metric that
+    catches a short document quoted/embedded inside a long one, where
+    symmetric Jaccard stays low (|S(a)|/|S(b)| bounds it) and the pair
+    never surfaces in the minhash pipeline.
+
+    Scale shape: each doc's DISTINCT shingles hash to int64 (the
+    exact_jaccard width argument) and explode ONCE; the self equi-join
+    on shingle emits only co-occurring pairs — never all pairs — and
+    the per-pair intersection count is one map-side-combinable
+    aggregate; |S(a)| attaches by a join on the (small) per-doc size
+    table. Ultra-common shingles fan out quadratically; `max_df` drops
+    them via a windowed count on the join's own partitioning (the
+    hot-bucket-cap precedent). Dropping shingles only LOWERS inter —
+    the guard biases containment down, never up, so it can suppress a
+    borderline pair but cannot invent one.
+    """
+    hashed = (docs.select(F.col(id_col).alias("_id"),
+                          F.transform(shingles_col(text_col),
+                                      lambda s: word_hash(s)).alias("_sh"))
+              .filter(F.size("_sh") > 0))
+    sizes = hashed.select("_id", F.size("_sh").alias("_n"))
+    ex = hashed.select("_id", F.explode("_sh").alias("_s"))
+    if max_df is not None:
+        from pyspark.sql import Window
+        dfc = F.count(F.lit(1)).over(Window.partitionBy("_s"))
+        ex = ex.withColumn("_df", dfc).filter(
+            F.col("_df") <= max_df).drop("_df")
+    pairs = (ex.alias("a").join(ex.alias("b"), "_s")
+             .where(F.col("a._id") != F.col("b._id"))
+             .groupBy(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("_inter")))
+    cont = F.round(F.col("_inter").cast("double") / F.col("_n"), 6)
+    return (pairs.join(sizes.withColumnRenamed("_id", "id_a"), "id_a")
+            .select("id_a", "id_b", cont.alias("containment"))
+            .filter(F.col("containment") >= threshold))
+
+
 def pairwise_ngram_jaccard(docs_a: DataFrame, docs_b: DataFrame,
                            on: str = "pair_id") -> DataFrame:
     """Exact word-3-gram Jaccard for aligned pairs (a.pair_id == b.pair_id)."""

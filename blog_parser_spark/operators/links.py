@@ -43,3 +43,57 @@ def domain_link_counts(pages: DataFrame) -> DataFrame:
     return (links.groupBy("src_domain",
                           domain_col(F.col("href")).alias("dst_domain"))
             .agg(F.count("*").alias("links")))
+
+
+def resolve_redirects(edges: DataFrame, max_chain: int = 64,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Resolve every url's FINAL redirect target by pointer doubling:
+    (src, final_url, hops) for each row of a functional redirect table
+    (at most one outgoing edge per src — duplicate sources raise, they
+    would make the result nondeterministic).
+
+    Why doubling: the naive walk joins once per HOP — a 64-deep chain
+    costs 64 shuffles. Compressing (a→b, b→c) into (a→c, hops summed)
+    every round makes surviving pointers skip 2^round hops, so
+    ceil(log2(max_chain)) + 1 rounds resolve any chain up to max_chain —
+    6 shuffle rounds instead of 64, the difference between feasible and
+    not at a 10^12-url crawl graph. Rounds checkpoint through the
+    pagerank lineage-cut helper; the loop exits early once no pointer
+    advanced.
+
+    Cycles never terminate, so they FAIL LOUDLY (the connected-components
+    convention): pointers still advancing after the round budget raise
+    ValueError instead of silently returning a mid-cycle node.
+    """
+    import math
+
+    sc = edges.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    dup = (edges.groupBy(src).agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > 1).count())
+    if dup:
+        raise ValueError(f"{dup} sources have multiple outgoing redirects")
+
+    m = _cut(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"),
+                          F.lit(1).cast("long").alias("hops")))
+    for _ in range(max(1, math.ceil(math.log2(max_chain)) + 1)):
+        nxt = m.select(F.col("_s").alias("_js"), F.col("_d").alias("_jd"),
+                       F.col("hops").alias("_jh"))
+        m2 = (m.join(nxt, m["_d"] == nxt["_js"], "left")
+              .select(m["_s"],
+                      F.coalesce(nxt["_jd"], m["_d"]).alias("_d"),
+                      (m["hops"] + F.coalesce(nxt["_jh"], F.lit(0)))
+                      .alias("hops"),
+                      nxt["_js"].isNotNull().alias("_moved")))
+        advanced = m2.filter("_moved").count()  # bounded: one scalar
+        m = _cut(m2.drop("_moved"))
+        if advanced == 0:
+            return m.select(F.col("_s").alias(src),
+                            F.col("_d").alias("final_url"), "hops")
+    raise ValueError(
+        f"redirect chains did not resolve within max_chain={max_chain} "
+        f"hops — cycle or deeper chain; refusing to return partial walks")

@@ -17,12 +17,40 @@ DuckDB/RE2 oracles agree byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
+
+
+def path_template(path: Column) -> Column:
+    """Generalize a URL path to its route template: every all-digit
+    segment becomes '{id}' ('/s2/item/4821' → '/s2/item/{id}'). Pure
+    JVM higher-order transform — one split, one per-segment rlike, no
+    regex replacement materialization; at log scale the template is the
+    natural rollup key for traffic/latency dashboards where raw paths
+    have unbounded cardinality."""
+    segs = F.split(path, "/")
+    return F.array_join(
+        F.transform(segs, lambda s: F.when(s.rlike("^[0-9]+$"),
+                                           F.lit("{id}")).otherwise(s)),
+        "/")
+
+
+def template_census(fetches: DataFrame, path_col: str = "path") -> DataFrame:
+    """Per-template (requests, distinct_paths) census. Two-stage
+    aggregate — (template, path) pre-count, then the template rollup —
+    so the plan never widens into the Expand a mixed
+    count/count-distinct would produce; both stages map-side combine."""
+    t = fetches.select(path_template(F.col(path_col)).alias("template"),
+                       F.col(path_col).alias("path"))
+    per_path = (t.groupBy("template", "path")
+                .agg(F.count(F.lit(1)).alias("n")))
+    return (per_path.groupBy("template")
+            .agg(F.sum("n").alias("requests"),
+                 F.count(F.lit(1)).alias("distinct_paths")))
 
 
 def canonicalize(url: Column) -> Column:

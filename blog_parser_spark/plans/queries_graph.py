@@ -55,3 +55,41 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-check is a numpy reference (rel err < 1e-9) plus an exact
     determinism-under-repartition assertion in tests/test_graph.py."""
     return graph.pagerank(_edges(spark, sf_dir), damping=0.85, n_iter=10)
+
+
+# ---------------------------------------------------------------------------
+# url_redirect_resolve — final redirect target per url by pointer
+# doubling (operators/links.py): ceil(log2(max_chain))+1 join rounds
+# instead of one join per hop, early exit when no pointer advances,
+# loud failure on cycles. The redirect table is a pure function of
+# doc_id (chains u0→u1→u2→u3, terminal every 4th url); the oracle walks
+# the same chains with a recursive CTE and keeps each src's deepest
+# reach.
+# ---------------------------------------------------------------------------
+
+_REDIRECT_SQL = """
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+         'u' || CAST(doc_id + 1 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id < 200 AND doc_id % 4 <> 3
+"""
+
+
+@register("url_redirect_resolve", f"""
+WITH RECURSIVE e AS ({_REDIRECT_SQL}),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.cur)
+SELECT src, arg_max(cur, hops) AS final_url,
+       CAST(MAX(hops) AS BIGINT) AS hops
+FROM walk GROUP BY src
+""")
+def q_url_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import links
+    docs = io.read_table(spark, sf_dir, "documents")
+    edges = (docs.filter("doc_id < 200 AND doc_id % 4 != 3")
+             .select(F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("u"), (F.col("doc_id") + 1)
+                              .cast("string")).alias("dst")))
+    return links.resolve_redirects(edges, max_chain=8)

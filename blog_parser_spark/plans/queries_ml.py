@@ -246,6 +246,45 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pairwise_ngram_jaccard(a, b)
 
 
+# Containment corpus: 12-word prefix "quotes" planted alongside their
+# source documents — high containment (quote in source), low Jaccard.
+_CONT_CORPUS_SQL = """
+SELECT doc_id, text FROM documents WHERE doc_id < 40
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id,
+       array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+FROM documents WHERE doc_id < 40
+"""
+
+
+def _cont_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (io.read_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").filter("doc_id < 40"))
+    quotes = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 12)).alias("text"))
+    return docs.unionByName(quotes)
+
+
+@register("dedup_containment", f"""
+WITH corpus AS ({_CONT_CORPUS_SQL}),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM corpus),
+nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0)
+SELECT id_a, id_b, containment FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(a.s), 6) AS containment
+  FROM nz a JOIN nz b ON a.doc_id <> b.doc_id)
+WHERE containment >= 0.9
+""")
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: planted 12-word quotes must
+    surface against their source docs even though symmetric Jaccard
+    stays far below any dedup threshold."""
+    return dedup.containment_pairs(_cont_corpus(spark, sf_dir),
+                                   threshold=0.9)
+
+
 @register("dedup_components", f"""
 WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM corpus),

@@ -59,3 +59,33 @@ def test_degrees_invariants(spark):
                    F.sum("in_degree").alias("i")).collect()[0]
     assert sums.o == n_edges == sums.i
     assert deg.filter("out_degree < 0 OR in_degree < 0").count() == 0
+
+
+def test_resolve_redirects_deep_chain_and_failures(spark):
+    import pytest
+    from pyspark.sql import Row, functions as F
+    from blog_parser_spark.operators import links
+
+    # one 50-deep chain + a 2-chain: log-round doubling must resolve
+    # both to their terminals with exact hop counts
+    edges = spark.createDataFrame(
+        [Row(src=f"c{i}", dst=f"c{i+1}") for i in range(50)]
+        + [Row(src="a", dst="b")])
+    got = {r["src"]: (r["final_url"], r["hops"]) for r in
+           links.resolve_redirects(edges, max_chain=64).collect()}
+    assert got["c0"] == ("c50", 50)
+    assert got["c25"] == ("c50", 25)
+    assert got["a"] == ("b", 1)
+    assert len(got) == 51
+
+    # a cycle must refuse loudly, never return a mid-cycle node
+    cyc = spark.createDataFrame(
+        [Row(src="x", dst="y"), Row(src="y", dst="x")])
+    with pytest.raises(ValueError, match="cycle or deeper"):
+        links.resolve_redirects(cyc, max_chain=8)
+
+    # two outgoing edges from one src = nondeterministic walk -> refuse
+    dup = spark.createDataFrame(
+        [Row(src="x", dst="y"), Row(src="x", dst="z")])
+    with pytest.raises(ValueError, match="multiple outgoing"):
+        links.resolve_redirects(dup, max_chain=8)

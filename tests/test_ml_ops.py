@@ -435,3 +435,42 @@ def test_sample_exact_k_mergeable_and_heap_planned(spark):
     plan = sampling.sample_exact_k(docs, "doc_id", 25)._jdf \
         .queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    from pyspark.sql import Row
+    long_words = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(12))   # prefix of the long doc
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=long_words),
+        Row(doc_id=2, text=quote),
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(30)))])
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in
+           dedup.containment_pairs(docs, threshold=0.9).collect()}
+    # the quote is fully contained in its source; nothing else pairs
+    assert got == {(2, 1): 1.0}
+    # symmetric Jaccard on the same pair is tiny: 10 shared shingles of
+    # the 58-shingle union
+    pairs = spark.createDataFrame([Row(id_a=2, id_b=1)])
+    j = dedup.exact_jaccard(pairs, docs).collect()[0]["jaccard"]
+    assert j < 0.2
+
+
+def test_containment_max_df_guard_only_lowers(spark):
+    from pyspark.sql import Row
+    common = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=common + f" tail{i} tail{i}b") for i in range(6)])
+    full = {(r["id_a"], r["id_b"]): r["containment"] for r in
+            dedup.containment_pairs(docs, threshold=0.0).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["containment"] for r in
+              dedup.containment_pairs(docs, threshold=0.0,
+                                      max_df=3).collect()}
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v <= full[k] + 1e-12
+    # partition invariance of the exact (uncapped) result
+    again = {(r["id_a"], r["id_b"]): r["containment"] for r in
+             dedup.containment_pairs(docs.repartition(7),
+                                     threshold=0.0).collect()}
+    assert again == full

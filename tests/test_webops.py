@@ -133,3 +133,34 @@ def test_k_anonymity_census_exact_and_monotone(spark):
         assert got[b]["rows_at_risk"] <= got[a]["rows_at_risk"]
         assert got[b]["risky_classes"] <= got[a]["risky_classes"]
         assert got[b]["n_classes"] <= got[a]["n_classes"]
+
+
+def test_path_template_generalization(spark):
+    from blog_parser_spark.operators import urlnorm
+    rows = spark.createDataFrame(
+        [Row(path=p) for p in
+         ["/s1/item/4821", "/s1/item/7", "/s1/list", "/u/99/profile",
+          "/mixed/ab12/3", "/", ""]])
+    got = {r["path"]: r["template"] for r in rows.select(
+        "path", urlnorm.path_template(F.col("path")).alias("template"))
+        .collect()}
+    assert got["/s1/item/4821"] == "/s1/item/{id}"
+    assert got["/s1/item/7"] == "/s1/item/{id}"
+    assert got["/s1/list"] == "/s1/list"
+    assert got["/u/99/profile"] == "/u/{id}/profile"
+    # alnum segments are NOT ids; pure-digit ones are
+    assert got["/mixed/ab12/3"] == "/mixed/ab12/{id}"
+    assert got["/"] == "/" and got[""] == ""
+
+
+def test_template_census_two_stage(spark):
+    from blog_parser_spark.operators import urlnorm
+    rows = spark.createDataFrame(
+        [Row(path=p) for p in
+         ["/a/1", "/a/2", "/a/2", "/b", "/b"]])
+    got = {r["template"]: (r["requests"], r["distinct_paths"])
+           for r in urlnorm.template_census(rows).collect()}
+    assert got == {"/a/{id}": (3, 2), "/b": (2, 1)}
+    plan = urlnorm.template_census(rows)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" not in plan
