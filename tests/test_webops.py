@@ -164,3 +164,16 @@ def test_template_census_two_stage(spark):
     plan = urlnorm.template_census(rows)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_crawl_delay_audit_gap_semantics(spark):
+    fetches = spark.createDataFrame(
+        [Row(event_id=i, host=h, ts_s=t, delay_s=2) for i, (h, t) in
+         enumerate([("h1", 100), ("h1", 101), ("h1", 105), ("h1", 105),
+                    ("h2", 50)])])
+    got = {r["host"]: (r["fetches"], r["violations"], r["min_gap_s"])
+           for r in robots.crawl_delay_audit(fetches).collect()}
+    # h1 gaps: 1 (violation), 4, 0 (same-second fetch, violation)
+    assert got["h1"] == (4, 2, 0)
+    # single-fetch host: no gap, no violation, NULL min gap
+    assert got["h2"] == (1, 0, None)
