@@ -139,6 +139,21 @@ def main() -> None:
         "sketch_count_min (stream collapses to <=4096 additive cells; "
         "probes broadcast-join the sketch)":
             qs["sketch_count_min"](spark, SF_DIR),
+        "heavy_hitters_exact (MG candidate pass + broadcast-semi recount — "
+        "shuffle bounded by candidates, never key cardinality)":
+            qs["heavy_hitters_exact"](spark, SF_DIR),
+        "robots_politeness (broadcast rule arrays; fetch stream map-only "
+        "until the per-host rollup)":
+            qs["robots_politeness"](spark, SF_DIR),
+        "url_redirect_resolve (pointer doubling — log-round joins, "
+        "checkpointed lineage)":
+            qs["url_redirect_resolve"](spark, SF_DIR),
+        "dedup_containment (shingle equi-join emits co-occurring pairs "
+        "only; intersection map-side combined)":
+            qs["dedup_containment"](spark, SF_DIR),
+        "url_path_templates (higher-order transform, two-stage census — "
+        "no Expand)":
+            qs["url_path_templates"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;

@@ -158,6 +158,26 @@ def main() -> None:
                            "rows_per_sec": round(n_docs / wall, 1),
                            "sec_per_batch": round(wall / max(b, 1), 3)}
 
+    # --- count-min sketch stream (additive per-batch fold) -----------------
+    n = args.cdc_rows
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id") * 6007, F.lit(n // 8)).alias("user_id"))
+    esrc = land(ev, "cms_src", args.batches)
+    sk = os.path.join(WORK, "cms_sketch")
+    sck = os.path.join(WORK, "cms_ck")
+    shutil.rmtree(sk, ignore_errors=True)
+    sev = (spark.readStream.schema("event_id bigint, user_id bigint")
+           .option("maxFilesPerTrigger", 1).parquet(esrc))
+    t0 = time.time()
+    q = stream.start_count_min(sev, sk, sck, key_col="user_id")
+    b = _await_done(q)
+    wall = time.time() - t0
+    out["cms_stream"] = {"rows": n, "sec": round(wall, 2),
+                         "micro_batches": b,
+                         "rows_per_sec": round(n / wall, 1),
+                         "sec_per_batch": round(wall / max(b, 1), 3)}
+
     user1, steal1 = _cpu_ticks()
     out["vm_user_ticks"] = user1 - user0
     out["vm_steal_ticks"] = steal1 - steal0
