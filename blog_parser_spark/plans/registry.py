@@ -39,29 +39,34 @@ def register(name: str, sql: str | None = None):
 # local gate plus their recorded driver history; no-oracle rows
 # (agg_approx_*, agg_hll_union) sort after as ever.
 #
-# Round-5 rotation queue (the EXACT 29 oracle-bearing queries still
-# without a driver row after r4 — computed against CORRECTNESS_r0[123]
-# + this window): parse_links_domains, multimodal_features,
-# multimodal_resize, multimodal_frames, fn_binary, fn_variant,
-# agg_sliding_window, fn_url, fn_try, fn_conditional,
-# win_first_last_nth, win_range_frame, udtf_word_explode,
-# agg_histogram, sql_exists_subquery, win_gapfill, agg_bitmap_distinct,
-# agg_bitmap_rollup, win_sessionize, udaf_grouped_agg,
-# grouped_map_cumsum, fn_struct, graph_degree, log_anomaly_zscore,
-# graph_triangle_count, agg_incremental_partials, cohort_retention,
-# agg_ohlc_resample, agg_embedding_centroid — plus the r4-added
-# operators (parse_log_templates, parse_multiline_stack,
-# enrich_ip_cidr, parse_useragent, clickpath_transitions,
-# interval_coalesce, slo_burn_rate, bot_score, schema_drift_census,
-# snapshot_diff_audit, text_boilerplate_strip, experiment_ab_lift,
-# rolling_distinct_users, trending_event_types, dq_expectations,
-# entity_extract_census, referrer_classify, bounce_rate_entry,
-# attribution_linear, percolate_match, sketch_count_min), making 50
-# exactly. Swap them in next round the same way. Oracle-bearing queries
-# added after that queue was frozen (heavy_hitters_exact,
-# robots_politeness, k_anonymity_census, ...) overflow the 50-slot
-# budget: they stay on the local gate (tools/check_queries.py), which
-# the judge re-runs independently each round.
+# Round-5 rotation queue — EXACTLY 60 oracle-bearing queries still
+# have no driver row after r4 (computed against CORRECTNESS_r0[123] +
+# this window; recompute with the snippet below). Round 5 spends its
+# 50 slots on the 50 of those with standalone operator value:
+# parse_links_domains, multimodal_features/resize/frames,
+# agg_sliding_window, win_range_frame, win_gapfill, win_sessionize,
+# agg_bitmap_distinct, agg_bitmap_rollup, udaf_grouped_agg,
+# grouped_map_cumsum, graph_degree, graph_triangle_count,
+# log_anomaly_zscore, agg_incremental_partials, cohort_retention,
+# agg_ohlc_resample, agg_embedding_centroid, parse_log_templates,
+# parse_multiline_stack, enrich_ip_cidr, parse_useragent,
+# clickpath_transitions, interval_coalesce, slo_burn_rate, bot_score,
+# schema_drift_census, snapshot_diff_audit, text_boilerplate_strip,
+# experiment_ab_lift, rolling_distinct_users, trending_event_types,
+# dq_expectations, entity_extract_census, attribution_last_touch,
+# referrer_classify, bounce_rate_entry, attribution_linear,
+# percolate_match, sketch_count_min, heavy_hitters_exact,
+# robots_politeness, k_anonymity_census, url_path_templates,
+# crawl_delay_audit, url_redirect_resolve, dedup_containment,
+# search_phrase_match, sample_exact_k — that's 49; add fn_url (the
+# most log-relevant of the fn_* demos) for 50. The 10 left on the
+# local gate only (fn_binary/variant/try/conditional/struct,
+# udtf_word_explode, sql_exists_subquery, agg_histogram,
+# win_first_last_nth + whichever of the above gets bumped by new r5
+# work) are single-function demos with the least standalone risk.
+# Recompute the remainder exactly:
+#   keys(CORRECTNESS_r01..r04) ∪ DRIVER_WINDOW vs oracle-bearing
+#   registry order.
 DRIVER_WINDOW: list[str] = [
     # TPC-H pack (18) — q1/q3/q5/q6 were driver-green in r3
     "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",

@@ -177,3 +177,20 @@ def test_crawl_delay_audit_gap_semantics(spark):
     assert got["h1"] == (4, 2, 0)
     # single-fetch host: no gap, no violation, NULL min gap
     assert got["h2"] == (1, 0, None)
+
+
+def test_degenerate_inputs(spark):
+    from blog_parser_spark.operators import links
+    empty = spark.range(0).select(F.col("id").cast("string").alias("k"))
+    assert heavyhitters.exact_heavy_hitters(empty, "k").collect() == []
+    one = spark.range(1).select(F.lit("only").alias("k"))
+    assert [tuple(r) for r in
+            heavyhitters.exact_heavy_hitters(one, "k").collect()] \
+        == [("only", 1, 1)]
+    # a host with no rules defaults to allow, not a dropped row
+    f = spark.createDataFrame([("unknown.example", "/x", 1)],
+                              "host string, path string, event_id int")
+    assert [tuple(r) for r in robots.politeness_audit(
+        f, robots.rules_df(spark)).collect()] == [("unknown.example", 1, 0)]
+    assert links.resolve_redirects(
+        spark.createDataFrame([], "src string, dst string")).collect() == []
