@@ -194,3 +194,22 @@ def test_degenerate_inputs(spark):
         f, robots.rules_df(spark)).collect()] == [("unknown.example", 1, 0)]
     assert links.resolve_redirects(
         spark.createDataFrame([], "src string, dst string")).collect() == []
+
+
+def test_parse_robots_txt_roundtrips_the_rule_fixture(spark):
+    parsed = {tuple(r) for r in
+              robots.parse_robots_txt(robots.bodies_df(spark)).collect()}
+    assert parsed == set(robots.robots_rules())
+    # and the audit over parsed rules equals the audit over the table
+    fetches = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("site"), (F.col("id") % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(F.lit("/sec"), (F.col("id") % 9).cast("string"),
+                 F.lit("/pub"), (F.col("id") % 7).cast("string"))
+        .alias("path"))
+    a = sorted(tuple(r) for r in robots.politeness_audit(
+        fetches, robots.rules_df(spark)).collect())
+    b = sorted(tuple(r) for r in robots.politeness_audit(
+        fetches, robots.parse_robots_txt(robots.bodies_df(spark))).collect())
+    assert a == b
