@@ -76,8 +76,15 @@ def exact_heavy_hitters(df: DataFrame, key_col: str,
     collected to the driver), recounts exactly with map-side combine,
     and thresholds against the in-plan one-row total. Output:
     (hh_key string, cnt bigint, n_total bigint) — all exact integers.
+
+    NULL keys are EXCLUDED (from the counts and from n_total): pandas
+    value_counts drops NaN, so a null-heavy stream would silently lose
+    its null group in pass 1 while a direct groupBy reports it — the
+    explicit filter makes both formulations agree by contract instead
+    of by fixture luck (tests/test_webops.py pins it).
     """
-    keyed = df.select(F.col(key_col).cast("string").alias("hh_key"))
+    keyed = (df.select(F.col(key_col).cast("string").alias("hh_key"))
+             .filter(F.col("hh_key").isNotNull()))
     cand = mg_candidates(df, key_col, capacity)
     total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
     counts = (keyed.join(F.broadcast(cand), "hh_key", "left_semi")

@@ -213,3 +213,17 @@ def test_parse_robots_txt_roundtrips_the_rule_fixture(spark):
     b = sorted(tuple(r) for r in robots.politeness_audit(
         fetches, robots.parse_robots_txt(robots.bodies_df(spark))).collect())
     assert a == b
+
+
+def test_heavy_hitters_null_keys_excluded_by_contract(spark):
+    # a null-heavy stream: nulls are excluded from counts AND n_total
+    # (documented contract — pandas value_counts would silently drop the
+    # null group from the candidate pass otherwise)
+    df = spark.createDataFrame(
+        [Row(k=None)] * 60 + [Row(k="a")] * 30 + [Row(k="b")] * 10,
+        "k string")
+    got = sorted(tuple(r) for r in
+                 heavyhitters.exact_heavy_hitters(
+                     df.repartition(5), "k", capacity=3).collect())
+    # non-null stream has 40 rows: a=30 (30*4>40), b=10 (40 not >40)
+    assert got == [("a", 30, 40)]

@@ -17,7 +17,10 @@ sys.path.insert(0, ".")
 def main() -> None:
     docs_path, events_path = sys.argv[1], sys.argv[2]
     cores, n_runs = int(sys.argv[3]), int(sys.argv[4])
-    from blog_parser_spark.operators import boilerplate, weblog
+    from pyspark.sql import functions as F
+
+    from blog_parser_spark.operators import (boilerplate, heavyhitters,
+                                             robots, urlnorm, weblog)
     from blog_parser_spark.session import get_spark
 
     spark = get_spark(f"weblog-{cores}", master=f"local[{cores}]",
@@ -27,11 +30,35 @@ def main() -> None:
     events = spark.read.parquet(events_path)
     n_docs, n_events = docs.count(), events.count()
 
+    # same key/fetch synthesis shapes as plans/queries_webops.py, over
+    # the replicated corpus (hot keys stay hot, tail grows with volume)
+    hh_keyed = events.select(
+        F.when(F.col("event_id") % 10 < 6,
+               F.concat(F.lit("hot-"), (F.col("user_id") % 5).cast("string")))
+        .otherwise(F.concat(F.lit("tail-"),
+                            (F.col("event_id") % 4096).cast("string")))
+        .alias("hh_key"))
+    fetches = events.select(
+        "event_id",
+        F.concat(F.lit("site"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(F.lit("/sec"), (F.col("event_id") % 9).cast("string"),
+                 F.lit("/"),
+                 F.when(F.col("event_id") % 3 == 0, F.lit("pub"))
+                 .when(F.col("event_id") % 3 == 1, F.lit("priv"))
+                 .otherwise(F.lit("page")),
+                 (F.col("event_id") % 97).cast("string")).alias("path"))
+
     legs = {
         "boilerplate_strip":
             boilerplate.strip_boilerplate(boilerplate.synth_pages(docs)),
         "rolling_distinct_users": weblog.rolling_distinct_users(events),
         "attribution_last_touch": weblog.attribution_last_touch(events),
+        "heavy_hitters_exact":
+            heavyhitters.exact_heavy_hitters(hh_keyed, "hh_key"),
+        "robots_politeness":
+            robots.politeness_audit(fetches, robots.rules_df(spark)),
+        "url_path_templates": urlnorm.template_census(fetches),
     }
 
     out: dict[str, object] = {"cores": cores, "docs": n_docs,

@@ -99,7 +99,8 @@ def main() -> None:
 
     lo, hi = results[args.n], results[4 * args.n]
     legs = ["boilerplate_strip", "rolling_distinct_users",
-            "attribution_last_touch"]
+            "attribution_last_touch", "heavy_hitters_exact",
+            "robots_politeness", "url_path_templates"]
     summary: dict[str, object] = {
         "docs": lo["docs"], "events": lo["events"],
         "steal_user_ratio": round((s1 - s0) / max(1, u1 - u0), 3),
