@@ -1,0 +1,50 @@
+"""Crawl-infrastructure queries — driver-contract entries for the WARC
+archive layer (sources/warc.py) and the companion crawl ops added with it.
+
+Registered AFTER the driver window (plans/registry.py DRIVER_WINDOW is
+pinned for round 4), so these extend the local gate + round-5 rotation
+pool without touching the 50 driver slots.
+
+Fixture convention as everywhere: inputs are deterministic pure-function
+renderings of the documents table, and each oracle re-derives the same
+result in closed form from doc_id — so a green row verifies the whole
+byte-level path (render -> pack -> parse -> compare), not arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import io, warc
+from .registry import register
+
+_URL_SQL = "'https://' || source || '.example.com/post/' || CAST(doc_id AS VARCHAR)"
+
+
+# ---------------------------------------------------------------------------
+# scan_warc_pages — the full WARC loop: synthesize pages, pack them into
+# warcinfo-led WARC/1.0 archives (applyInPandas render), parse the raw
+# archive bytes back (mapInPandas, Content-Length framing), and compare
+# each recovered record byte-for-byte against its source page. The
+# oracle expects exactly one byte_identical=true row per document: a
+# lost record changes the row count, a corrupted payload/timestamp or a
+# quarantine row (url NULL) breaks the value hash. Quarantine rows
+# survive via the LEFT join from records, so framing errors are loud.
+# ---------------------------------------------------------------------------
+
+@register("scan_warc_pages", f"""
+SELECT {_URL_SQL} AS url, true AS byte_identical
+FROM documents
+""")
+def q_scan_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir)
+    records = warc.read_warc(warc.pack_warc_files(pages, docs_per_file=25))
+    src = pages.select(F.col("url").alias("src_url"),
+                       F.col("warc_ts").alias("src_ts"),
+                       F.col("html").alias("src_html"))
+    return (records
+            .join(src, records["url"] == src["src_url"], "left")
+            .select(
+                records["url"],
+                ((F.col("html") == F.col("src_html"))
+                 & (F.col("warc_ts") == F.col("src_ts"))).alias("byte_identical")))

@@ -184,6 +184,102 @@ def escape_html(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
+# --- WARC/1.0 container grammar (additive; Common Crawl's archive format) ---
+# One source of truth for BOTH directions: the fixture/export packer
+# (render_warc_file) and the ingest parser (parse_warc_file) share these
+# constants, so the pack -> parse round trip is byte-exact by construction
+# and the Spark plumbing is the only thing the end-to-end query can catch.
+#
+# Subset pinned here (enough for response-record archives):
+#   record  = "WARC/1.0" CRLF *(name ": " value CRLF) CRLF payload CRLF CRLF
+#   required headers: WARC-Type, WARC-Date, Content-Length
+#   WARC-Target-URI required on response records
+# Content-Length drives the payload slice, so payloads are binary-safe —
+# a payload containing the bytes "WARC/1.0" cannot desync the walk.
+
+WARC_VERSION = b"WARC/1.0"
+WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"  # ISO-8601 Zulu, second precision
+WARC_INFO_PAYLOAD = b"software: blog-parser-spark\r\nformat: WARC file version 1.0\r\n"
+
+
+class WarcRecord(NamedTuple):
+    url: str
+    warc_date: str      # ISO-8601 Zulu string, parsed verbatim from the header
+    payload: bytes
+    offset: int         # byte offset of the record's version line in the file
+
+
+def render_warc_record(rec_type: str, url: str | None, warc_date: str,
+                       payload: bytes) -> bytes:
+    headers = [WARC_VERSION.decode("ascii"), f"WARC-Type: {rec_type}"]
+    if url is not None:
+        headers.append(f"WARC-Target-URI: {url}")
+    headers += [f"WARC-Date: {warc_date}", f"Content-Length: {len(payload)}"]
+    return ("\r\n".join(headers) + "\r\n\r\n").encode("ascii") + payload + b"\r\n\r\n"
+
+
+def render_warc_file(records: list[tuple[str, str, bytes]],
+                     info_date: str | None = None) -> bytes:
+    """(url, warc_date, payload) response records -> one WARC file's bytes,
+    led by a warcinfo record (like real crawler output — the parser must
+    skip non-response records, and every fixture file exercises that)."""
+    first_date = info_date or (records[0][1] if records else "2024-01-01T00:00:00Z")
+    buf = [render_warc_record("warcinfo", None, first_date, WARC_INFO_PAYLOAD)]
+    buf.extend(render_warc_record("response", u, d, p) for u, d, p in records)
+    return b"".join(buf)
+
+
+def parse_warc_file(data: bytes) -> tuple[list[WarcRecord], str | None]:
+    """Binary-safe WARC walk. Returns (response records in file order, err).
+
+    Non-response records are skipped (expected: warcinfo/request/metadata).
+    The first malformed structure stops the walk — after a framing error
+    the remaining offsets are untrustworthy, so the caller quarantines the
+    file tail loudly (err is a position-stamped reason) instead of
+    resyncing heuristically and risking silent drops.
+    """
+    out: list[WarcRecord] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if not data.startswith(WARC_VERSION + b"\r\n", pos):
+            return out, f"bad version line at byte {pos}"
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            return out, f"unterminated header block at byte {pos}"
+        fields: dict[str, str] = {}
+        try:
+            hdr_lines = data[pos + len(WARC_VERSION) + 2: hdr_end].decode("ascii")
+        except UnicodeDecodeError:
+            return out, f"non-ascii header block at byte {pos}"
+        for line in hdr_lines.split("\r\n"):
+            name, sep, value = line.partition(":")
+            if not sep:
+                return out, f"malformed header line at byte {pos}: {line!r}"
+            fields[name.strip().lower()] = value.strip()
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            return out, f"missing/bad Content-Length at byte {pos}"
+        body_start = hdr_end + 4
+        body_end = body_start + length
+        if body_end + 2 > n or data[body_end:body_end + 2] != b"\r\n":
+            return out, f"truncated payload at byte {pos}"
+        # two CRLFs end a record, but tolerate exactly one at EOF
+        tail = data[body_end:body_end + 4]
+        step = 4 if tail == b"\r\n\r\n" else 2
+        if step == 2 and body_end + 2 != n:
+            return out, f"missing record trailer at byte {pos}"
+        if fields.get("warc-type") == "response":
+            url = fields.get("warc-target-uri")
+            date = fields.get("warc-date")
+            if url is None or date is None:
+                return out, f"response record missing URI/Date at byte {pos}"
+            out.append(WarcRecord(url, date, data[body_start:body_end], pos))
+        pos = body_end + step
+    return out, None
+
+
 def render_html(text: str, doc_id: int | None = None) -> bytes:
     """Deterministic inverse fixture generator (FIXTURES.md §B `pages.html`).
 

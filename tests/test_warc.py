@@ -1,0 +1,123 @@
+"""WARC archive layer (sources/warc.py + spec WARC grammar): pure-Python
+framing edge cases, Spark pack->parse round trip, and loud quarantine of
+malformed archives (no silent byte loss — same contract as the JSONL/CSV
+landing readers)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row, functions as F
+
+from blog_parser_spark import spec
+from blog_parser_spark.sources import io, warc
+from tests.conftest import SF_DIR
+
+_D = "2024-01-05T06:07:08Z"
+
+
+def _one(url: str = "https://a.example.com/post/1",
+         payload: bytes = b"<html>x</html>") -> bytes:
+    return spec.render_warc_record("response", url, _D, payload)
+
+
+# --- pure-Python grammar ----------------------------------------------------
+
+def test_round_trip_single_record():
+    recs, err = spec.parse_warc_file(_one())
+    assert err is None
+    assert len(recs) == 1
+    assert recs[0].url == "https://a.example.com/post/1"
+    assert recs[0].warc_date == _D
+    assert recs[0].payload == b"<html>x</html>"
+    assert recs[0].offset == 0
+
+
+def test_payload_containing_warc_magic_is_binary_safe():
+    # Content-Length framing must not resync on payload bytes.
+    evil = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n trap"
+    data = spec.render_warc_file([("u1", _D, evil), ("u2", _D, b"ok")])
+    recs, err = spec.parse_warc_file(data)
+    assert err is None
+    assert [r.payload for r in recs] == [evil, b"ok"]
+
+
+def test_warcinfo_and_request_records_skipped():
+    data = (spec.render_warc_record("warcinfo", None, _D, spec.WARC_INFO_PAYLOAD)
+            + spec.render_warc_record("request", "u", _D, b"GET / HTTP/1.1")
+            + _one())
+    recs, err = spec.parse_warc_file(data)
+    assert err is None
+    assert len(recs) == 1 and recs[0].payload == b"<html>x</html>"
+
+
+def test_single_trailing_crlf_at_eof_tolerated():
+    data = _one()
+    assert data.endswith(b"\r\n\r\n")
+    recs, err = spec.parse_warc_file(data[:-2])  # exactly one CRLF at EOF
+    assert err is None and len(recs) == 1
+
+
+def test_malformed_cases_stop_with_positioned_error():
+    good = _one()
+    cases = {
+        b"GZIP" + good: "bad version line at byte 0",
+        good[:-10]: "truncated payload",            # payload cut short
+        good[:-2] + b"XX": "missing record trailer",  # trailer bytes wrong
+    }
+    for data, expected in cases.items():
+        recs, err = spec.parse_warc_file(data)
+        assert err is not None and expected.split(" at ")[0] in err
+    # missing Content-Length
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: " + _D.encode() + b"\r\n\r\nxx\r\n\r\n"
+    recs, err = spec.parse_warc_file(bad)
+    assert recs == [] and "Content-Length" in err
+    # good prefix is preserved before the error
+    recs, err = spec.parse_warc_file(good + b"junk")
+    assert len(recs) == 1 and "bad version line" in err
+
+
+# --- Spark layer -------------------------------------------------------------
+
+def test_pack_read_round_trip_spark(spark):
+    pages = io.synth_pages(spark, SF_DIR)
+    files = warc.pack_warc_files(pages, docs_per_file=25)
+    n_docs = pages.count()
+    assert files.count() == (
+        pages.select(F.ceil(F.count_distinct("url") / 25)).collect()[0][0]
+        or (n_docs + 24) // 25)
+
+    records = warc.read_warc(files)
+    assert records.filter(F.col("warc_err").isNotNull()).count() == 0
+    # byte-identical html and timestamp per url, nothing lost or invented
+    src = pages.select("url", F.col("warc_ts").alias("src_ts"),
+                       F.col("html").alias("src_html"))
+    joined = records.join(src, "url", "inner")
+    assert joined.count() == n_docs == records.count()
+    assert joined.filter(
+        (F.col("html") != F.col("src_html"))
+        | (F.col("warc_ts") != F.col("src_ts"))).count() == 0
+
+
+def test_read_warc_quarantines_corrupt_file_loudly(spark):
+    good_file = spec.render_warc_file([("u1", _D, b"a"), ("u2", _D, b"b")])
+    corrupt = spec.render_warc_file([("u3", _D, b"c")]) + b"garbage tail"
+    files = spark.createDataFrame(
+        [Row(warc_file="good.warc", content=bytearray(good_file)),
+         Row(warc_file="bad.warc", content=bytearray(corrupt))],
+        schema=warc.WARC_FILE_SCHEMA)
+    out = warc.read_warc(files)
+    rows = {(r.warc_file, r.url): r for r in out.collect()}
+    # good prefix of the corrupt file still lands
+    assert rows[("bad.warc", "u3")].html == bytearray(b"c")
+    # the tail is a loud, position-stamped quarantine row
+    q = rows[("bad.warc", None)]
+    assert q.warc_err is not None and "bad version line" in q.warc_err
+    assert len(rows) == 4  # 2 good + 1 recovered + 1 quarantine
+
+
+def test_warc_date_round_trips_session_utc(spark):
+    ts = datetime(2024, 3, 4, 5, 6, 7)
+    s = warc._fmt_warc_date(ts)
+    assert s == "2024-03-04T05:06:07Z"
+    assert warc._parse_warc_date(s) == ts
