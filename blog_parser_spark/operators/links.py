@@ -16,7 +16,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from .. import spec
 
@@ -97,3 +97,36 @@ def resolve_redirects(edges: DataFrame, max_chain: int = 64,
     raise ValueError(
         f"redirect chains did not resolve within max_chain={max_chain} "
         f"hops — cycle or deeper chain; refusing to return partial walks")
+
+
+_ANCHOR_TYPE = ArrayType(StructType([
+    StructField("href", StringType()), StructField("anchor", StringType())]))
+
+
+@pandas_udf(_ANCHOR_TYPE)
+def extract_anchors_udf(html: pd.Series) -> pd.Series:
+    return html.map(spec.extract_anchors)
+
+
+def anchor_text_census(pages: DataFrame) -> DataFrame:
+    """pages(html) -> (dst_domain, term, mentions): how the web describes
+    each site — the per-target anchor-text census every search/ranking
+    stack derives from its crawl (anchor terms are among the strongest
+    relevance signals, and the census also feeds spam/bridge detection).
+
+    Shape: ONE Arrow stage (the anchor regex scan, same embarrassingly
+    parallel profile as parse_html), then pure JVM: explode anchors,
+    explode split(anchor) terms, partial-combined hash agg. html is
+    pruned right after the UDF, so the shuffle carries (short domain,
+    short term) pairs — never page bytes; empty anchor texts are dropped
+    before the explode fans them out."""
+    anchors = (pages
+               .select(F.explode(extract_anchors_udf("html")).alias("a"))
+               .select(domain_col(F.col("a.href")).alias("dst_domain"),
+                       F.col("a.anchor").alias("anchor"))
+               .filter(F.col("anchor") != ""))
+    return (anchors
+            .select("dst_domain",
+                    F.explode(F.split("anchor", " ")).alias("term"))
+            .groupBy("dst_domain", "term")
+            .agg(F.count(F.lit(1)).alias("mentions")))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators import links
 from ..sources import io, warc
 from .registry import register
 
@@ -48,3 +49,35 @@ def q_scan_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 records["url"],
                 ((F.col("html") == F.col("src_html"))
                  & (F.col("warc_ts") == F.col("src_ts"))).alias("byte_identical")))
+
+
+# ---------------------------------------------------------------------------
+# anchor_text_census — per-target-domain anchor-term counts from the raw
+# html bytes (rich-anchor fixture rendering: anchor text is a closed-form
+# function of the link target id, so the oracle derives the identical
+# census without ever seeing the html). Verifies the byte-level render ->
+# anchor-extract -> normalize -> term-split -> aggregate path.
+# ---------------------------------------------------------------------------
+
+@register("anchor_text_census", """
+WITH t AS (
+  SELECT unnest([
+    (doc_id * 31 + 7)  % 100000,
+    (doc_id * 57 + 13) % 100000,
+    (doc_id * 91 + 23) % 100000]) AS tgt
+  FROM documents
+),
+w AS (
+  SELECT tgt, unnest([
+    'w' || CAST(tgt % 13 AS VARCHAR),
+    'w' || CAST(tgt % 5  AS VARCHAR)]) AS term
+  FROM t
+)
+SELECT 'site' || CAST(tgt % 17 AS VARCHAR) || '.example.com' AS dst_domain,
+       term, CAST(count(*) AS BIGINT) AS mentions
+FROM w
+GROUP BY dst_domain, term
+""")
+def q_anchor_text_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir, rich_anchors=True)
+    return links.anchor_text_census(pages)

@@ -73,23 +73,26 @@ def _render_html_udf():
     return render
 
 
-def _render_html_linked_udf():
+def _render_html_linked_udf(rich_anchors: bool = False):
     """Renderer variant that also emits the deterministic <nav> outlink
     block (spec.link_targets) — byte-identical to _render_html_udf
-    everywhere outside the nav block."""
+    everywhere outside the nav block. rich_anchors swaps the constant
+    'ref' anchor text for spec.anchor_text(target) (closed-form for the
+    oracle side); the default byte stream is unchanged."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BinaryType())
     def render(text: pd.Series, doc_id: pd.Series) -> pd.Series:
         return pd.Series(
-            [None if t is None else spec.render_html(t, doc_id=int(d))
+            [None if t is None
+             else spec.render_html(t, doc_id=int(d), rich_anchors=rich_anchors)
              for t, d in zip(text, doc_id)])
 
     return render
 
 
 def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1,
-                with_links: bool = False) -> DataFrame:
+                with_links: bool = False, rich_anchors: bool = False) -> DataFrame:
     """documents -> pages(url, warc_ts, html, text, lang), deterministic.
 
     replicate=k deterministically tiles the corpus k-fold (distinct urls via
@@ -101,7 +104,8 @@ def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1,
         reps = spark.range(replicate).select(F.col("id").alias("rep"))
         docs = docs.crossJoin(reps).withColumn(
             "doc_id", F.col("doc_id") + F.col("rep") * 10_000_000).drop("rep")
-    rendered = (_render_html_linked_udf()("text", "doc_id") if with_links
+    rendered = (_render_html_linked_udf(rich_anchors)("text", "doc_id")
+                if with_links or rich_anchors
                 else _render_html_udf()("text"))
     return docs.select(
         F.concat(F.lit("https://"), "source", F.lit(".example.com/post/"),

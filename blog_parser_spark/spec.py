@@ -167,6 +167,33 @@ def link_url(target_id: int) -> str:
     return f"https://site{target_id % LINK_DOMAIN_MOD}.example.com/post/{target_id}"
 
 
+# Anchor grammar (additive): href AND inner text. Inner text runs through
+# normalize_fragment (tags stripped, entities decoded, whitespace collapsed)
+# — anchor text in the wild routinely wraps <b>/<span>.
+ANCHOR_RE = re.compile(r'<a href="([^"]*)"[^>]*>(.*?)</a>', re.S)
+
+# Deterministic rich-anchor fixture text: two words derived from the target
+# id, so the DuckDB oracle reproduces the census in closed form. Kept OFF by
+# default — render_html(doc_id=...) byte streams are pinned by older tests.
+ANCHOR_WORD_MODS = (13, 5)
+
+
+def anchor_text(target_id: int) -> str:
+    return " ".join(f"w{target_id % m}" for m in ANCHOR_WORD_MODS)
+
+
+def extract_anchors(html: bytes | None) -> list[tuple[str, str]]:
+    """(href, normalized inner text) per anchor, document order; decode
+    failures and NULL html yield [] (same contract as extract_links)."""
+    if html is None:
+        return []
+    try:
+        doc = html.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return []
+    return [(href, normalize_fragment(txt)) for href, txt in ANCHOR_RE.findall(doc)]
+
+
 def extract_links(html: bytes | None) -> list[str]:
     """All double-quoted href targets, document order. Decode failures and
     NULL html yield [] (the page still parses/fails through parse_document;
@@ -280,7 +307,8 @@ def parse_warc_file(data: bytes) -> tuple[list[WarcRecord], str | None]:
     return out, None
 
 
-def render_html(text: str, doc_id: int | None = None) -> bytes:
+def render_html(text: str, doc_id: int | None = None,
+                rich_anchors: bool = False) -> bytes:
     """Deterministic inverse fixture generator (FIXTURES.md §B `pages.html`).
 
     Splits `text` into title (first 8 words), two <h2> headings (4 words
@@ -310,8 +338,10 @@ def render_html(text: str, doc_id: int | None = None) -> bytes:
     buf.extend(f"<p>{escape_html(p)}</p>" for p in paras if p)
     if doc_id is not None:
         buf.append("<nav>")
-        buf.extend(f'<a href="{link_url(t)}">ref</a>'
-                   for t in link_targets(doc_id))
+        buf.extend(
+            f'<a href="{link_url(t)}">'
+            f'{escape_html(anchor_text(t)) if rich_anchors else "ref"}</a>'
+            for t in link_targets(doc_id))
         buf.append("</nav>")
     buf.append("</body></html>")
     return "".join(buf).encode("utf-8")

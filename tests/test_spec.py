@@ -122,3 +122,34 @@ def test_links_grammar_edges():
             b'<a  href="https://d/4">double space: not grammar</a>'
             b'<a href="">empty ok</a>')
     assert spec.extract_links(html) == ["https://a/1", ""]
+
+
+def test_anchor_grammar():
+    # inner tags stripped, entities decoded, whitespace collapsed
+    html = (b'<a href="https://a/1"><b>Bold</b>  link</a>'
+            b'<a href="https://b/2">A &amp; B</a>'
+            b'<a href="https://c/3"></a>')  # empty anchor text kept as ""
+    assert spec.extract_anchors(html) == [
+        ("https://a/1", "Bold link"),
+        ("https://b/2", "A & B"),
+        ("https://c/3", ""),
+    ]
+    assert spec.extract_anchors(None) == []
+    assert spec.extract_anchors(b"\xff\xfe<a href=\"x\">y</a>") == []
+
+
+def test_rich_anchors_render_round_trip():
+    # rich anchors change ONLY the nav block: text extraction stays
+    # bit-identical, hrefs unchanged, anchor text is the closed form
+    for d in _documents()[:50]:
+        rich = spec.render_html(d["text"], doc_id=d["doc_id"], rich_anchors=True)
+        assert spec.parse_document(rich).extracted_text == d["text"]
+        assert spec.extract_links(rich) == \
+            [spec.link_url(t) for t in spec.link_targets(d["doc_id"])]
+        assert spec.extract_anchors(rich) == \
+            [(spec.link_url(t), spec.anchor_text(t))
+             for t in spec.link_targets(d["doc_id"])]
+    # default byte stream is pinned: rich_anchors=False reproduces it
+    d = _documents()[0]
+    assert (spec.render_html(d["text"], doc_id=d["doc_id"])
+            == spec.render_html(d["text"], doc_id=d["doc_id"], rich_anchors=False))
