@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .. import spec
+
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
@@ -72,3 +74,34 @@ def canonicalize(url: Column) -> Column:
             lambda x: (x != "") & ~x.startswith("utm_"))), "&")
     qpart = F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params))
     return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def canonical_key(html: Column, url: Column) -> Column:
+    """Page dedup key = declared <link rel="canonical"> target, else the
+    page's own url. Extraction is a single JVM regexp over the html bytes
+    cast to string (UTF-8, invalid sequences become replacement chars —
+    the pattern is pure ASCII so extraction is unaffected); no Python
+    stage, no Arrow transfer: this is a map-only projection fused into
+    the scan."""
+    c = F.regexp_extract(html.cast("string"), spec.CANONICAL_RE_STR, 1)
+    return F.when(c != "", c).otherwise(url)
+
+
+def canonical_groups(pages: DataFrame) -> DataFrame:
+    """pages -> (canonical_key, n_pages, rep_url): fold the crawl onto
+    canonical targets (the dedup step that runs BEFORE content hashing in
+    CC-style pipelines — mirror/AMP/tracking variants all declare the
+    same canonical). Representative = latest crawl, (warc_ts, url) struct
+    tie-break so re-crawled mirrors resolve deterministically. ONE
+    map-combined hash aggregation; html never reaches the shuffle."""
+    keyed = pages.select(
+        canonical_key(F.col("html"), F.col("url")).alias("canonical_key"),
+        "url",
+        # engine-portable composite order key: zero-padded epoch seconds
+        # then url — lexicographic compare == (warc_ts, url) compare, and
+        # DuckDB's arg_max can rank it (no struct-key arg_max there)
+        F.concat(F.lpad(F.col("warc_ts").cast("long").cast("string"), 20, "0"),
+                 F.lit("|"), F.col("url")).alias("_ord"))
+    return keyed.groupBy("canonical_key").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.max_by("url", F.col("_ord")).alias("rep_url"))

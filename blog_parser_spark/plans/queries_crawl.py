@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import links
+from ..operators import links, urlnorm
 from ..sources import io, warc
 from .registry import register
 
@@ -81,3 +81,38 @@ GROUP BY dst_domain, term
 def q_anchor_text_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = io.synth_pages(spark, sf_dir, rich_anchors=True)
     return links.anchor_text_census(pages)
+
+
+# ---------------------------------------------------------------------------
+# dedup_canonical — fold the crawl onto declared <link rel="canonical">
+# targets (pre-content-hash dedup). Spark extracts the tag with a pure
+# JVM regexp over the html bytes (no Python stage at all); the oracle
+# re-derives the canonical key in closed form from doc_id, so a green
+# row proves the byte-level render -> extract -> group -> argmax path.
+# Representative = latest (warc_ts, url) struct max on both engines.
+# ---------------------------------------------------------------------------
+
+@register("dedup_canonical", f"""
+WITH p AS (
+  SELECT doc_id, {_URL_SQL} AS url,
+    TIMESTAMP '2024-01-01' + (doc_id % 90) * INTERVAL 1 DAY
+      + (doc_id % 86400) * INTERVAL 1 SECOND AS warc_ts
+  FROM documents
+),
+k AS (
+  SELECT url, warc_ts,
+    CASE WHEN doc_id % 3 <> 0 THEN
+      'https://canon' || CAST((doc_id - (doc_id % 3)) % 7 AS VARCHAR)
+        || '.example.com/page/' || CAST(doc_id - (doc_id % 3) AS VARCHAR)
+    ELSE url END AS canonical_key
+  FROM p
+)
+SELECT canonical_key, CAST(count(*) AS BIGINT) AS n_pages,
+       arg_max(url, lpad(CAST(CAST(epoch(warc_ts) AS BIGINT) AS VARCHAR), 20, '0')
+                    || '|' || url) AS rep_url
+FROM k
+GROUP BY canonical_key
+""")
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir, with_canonical=True)
+    return urlnorm.canonical_groups(pages)

@@ -167,6 +167,45 @@ def link_url(target_id: int) -> str:
     return f"https://site{target_id % LINK_DOMAIN_MOD}.example.com/post/{target_id}"
 
 
+# Canonical-link grammar (additive): the <link rel="canonical"> head tag
+# every CC-style dedup pipeline folds on before content hashing. The raw
+# pattern string is shared verbatim by the Spark side (regexp_extract —
+# pure JVM, no Python stage: canonical extraction is a single-pattern
+# scan, far too cheap to pay an Arrow round trip for) and this module.
+CANONICAL_RE_STR = r'<link rel="canonical" href="([^"]*)">'
+CANONICAL_RE = re.compile(CANONICAL_RE_STR)
+
+CANON_GROUP = 3       # fixture: every aligned group of 3 doc_ids shares one
+CANON_DOMAIN_MOD = 7  # canonical target, on 7 synthetic canonical hosts
+
+
+def canonical_url(canon_id: int) -> str:
+    """Closed-form canonical target — dangling targets allowed (real
+    canonicals routinely point outside the current crawl slice)."""
+    return (f"https://canon{canon_id % CANON_DOMAIN_MOD}.example.com"
+            f"/page/{canon_id}")
+
+
+def canonical_target(doc_id: int) -> str | None:
+    """Group roots (doc_id % 3 == 0) declare no canonical; the rest point
+    at their group root's canonical url."""
+    if doc_id % CANON_GROUP == 0:
+        return None
+    return canonical_url(doc_id - doc_id % CANON_GROUP)
+
+
+def extract_canonical(html: bytes | None) -> str | None:
+    """First canonical href, or None (absent tag / NULL / decode failure)."""
+    if html is None:
+        return None
+    try:
+        doc = html.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return None
+    m = CANONICAL_RE.search(doc)
+    return m.group(1) if m else None
+
+
 # Anchor grammar (additive): href AND inner text. Inner text runs through
 # normalize_fragment (tags stripped, entities decoded, whitespace collapsed)
 # — anchor text in the wild routinely wraps <b>/<span>.
@@ -308,7 +347,8 @@ def parse_warc_file(data: bytes) -> tuple[list[WarcRecord], str | None]:
 
 
 def render_html(text: str, doc_id: int | None = None,
-                rich_anchors: bool = False) -> bytes:
+                rich_anchors: bool = False,
+                with_canonical: bool = False) -> bytes:
     """Deterministic inverse fixture generator (FIXTURES.md §B `pages.html`).
 
     Splits `text` into title (first 8 words), two <h2> headings (4 words
@@ -332,7 +372,11 @@ def render_html(text: str, doc_id: int | None = None,
         " ".join(words[i: i + PARA_WORDS])
         for i in range(BODY_START, len(words), PARA_WORDS)
     ]
-    buf = [f"<html><head><title>{escape_html(title)}</title></head><body>"]
+    canon = canonical_target(doc_id) if (with_canonical and doc_id is not None) else None
+    head = f"<title>{escape_html(title)}</title>"
+    if canon is not None:
+        head += f'<link rel="canonical" href="{canon}">'
+    buf = [f"<html><head>{head}</head><body>"]
     buf.append(f"<h1>{escape_html(title)}</h1>")
     buf.extend(f"<h2>{escape_html(h)}</h2>" for h in h2s if h)
     buf.extend(f"<p>{escape_html(p)}</p>" for p in paras if p)

@@ -91,3 +91,20 @@ def test_quality_classifier_threshold_consistency(spark):
         assert abs(sig - r["quality_prob"]) < 1e-9
         assert r["keep"] == (r["logit"] > 0)
     assert rows[1]["quality_prob"] > rows[2]["quality_prob"]
+
+
+def test_dedup_canonical_plan_is_pure_jvm(spark, tmp_path):
+    """Canonical extraction must never pay an Arrow round trip — it is a
+    single JVM regexp fused into the scan (operators/urlnorm.py)."""
+    from blog_parser_spark.operators import urlnorm
+    from blog_parser_spark.sources import io
+    from tests.conftest import SF_DIR
+
+    # parquet round trip drops the fixture-render UDF from the measured
+    # plan: what remains is scan -> JVM regexp extract -> one hash agg
+    pages = io.synth_pages(spark, SF_DIR, with_canonical=True)
+    pages.write.mode("overwrite").parquet(str(tmp_path / "p"))
+    out = urlnorm.canonical_groups(spark.read.parquet(str(tmp_path / "p")))
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

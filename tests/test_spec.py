@@ -153,3 +153,20 @@ def test_rich_anchors_render_round_trip():
     d = _documents()[0]
     assert (spec.render_html(d["text"], doc_id=d["doc_id"])
             == spec.render_html(d["text"], doc_id=d["doc_id"], rich_anchors=False))
+
+
+def test_canonical_grammar():
+    d = _documents()[:9]
+    for row in d:
+        html = spec.render_html(row["text"], doc_id=row["doc_id"],
+                                with_canonical=True)
+        # round-trip invariance: the head link is invisible to extraction
+        assert spec.parse_document(html).extracted_text == row["text"]
+        assert spec.extract_canonical(html) == spec.canonical_target(row["doc_id"])
+    # group roots declare none; members point at the root's target
+    assert spec.canonical_target(0) is None
+    assert spec.canonical_target(4) == spec.canonical_url(3)
+    assert spec.canonical_target(5) == spec.canonical_url(3)
+    assert spec.extract_canonical(None) is None
+    assert spec.extract_canonical(b"<html></html>") is None
+    assert spec.extract_canonical(b"\xff\xfe") is None
