@@ -1,0 +1,61 @@
+"""Recrawl scheduling — per-url change-frequency estimation over crawl
+history, the other half of crawl scheduling (the frontier op answers
+"what order do we fetch NEW urls"; this answers "when is each KNOWN url
+due again"). The estimator is the classic uniform-change-rate shape
+(Cho & Garcia-Molina, "Estimating Frequency of Change": changes observed
+/ time observed), kept in EXACT integer arithmetic so the DuckDB oracle
+is bit-identical: est interval = floor(observed span / (changes + 1)),
+clamped to [min,max] bounds, next due = last crawl + est interval.
+
+Scale shape: ONE shuffle total. The lag window partitions by url; the
+aggregate groups by the same key, so Catalyst reuses the exchange
+(asserted in the plan test). State per url is O(1) — at 10^12 urls the
+job is a single well-partitioned pass over the crawl log, and the url
+key is near-uniform (no hot-key salting needed; a url recrawled
+pathologically often is bounded by crawl policy itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Clamp bounds for the estimated recrawl interval (seconds).
+MIN_INTERVAL_S = 3600            # never more than hourly
+MAX_INTERVAL_S = 30 * 86400      # never less than monthly
+
+
+def recrawl_schedule(crawls: DataFrame,
+                     min_interval_s: int = MIN_INTERVAL_S,
+                     max_interval_s: int = MAX_INTERVAL_S) -> DataFrame:
+    """crawls(url, crawl_ts, content_fp) -> per-url schedule row:
+    (url, n_crawls, n_changes, est_interval_s, next_due_ts).
+
+    A "change" is crawl i whose fingerprint differs from crawl i-1 (by
+    crawl_ts order; ties broken by content_fp for determinism). Single-
+    crawl urls observe no span: they get max_interval_s/2 (the standard
+    cold-start prior: half the max so they retry sooner than dead pages
+    but don't flood the schedule).
+    """
+    w = Window.partitionBy("url").orderBy("crawl_ts", "content_fp")
+    flagged = crawls.select(
+        "url", "crawl_ts", "content_fp",
+        (F.lag("content_fp").over(w) != F.col("content_fp"))
+        .cast("int").alias("_changed"))
+    per_url = flagged.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_crawls"),
+        F.coalesce(F.sum("_changed"), F.lit(0)).cast("long").alias("n_changes"),
+        F.min("crawl_ts").alias("_first"),
+        F.max("crawl_ts").alias("_last"))
+    span_s = (F.col("_last").cast("long") - F.col("_first").cast("long"))
+    est = F.when(
+        F.col("n_crawls") <= 1, F.lit(max_interval_s // 2)
+    ).otherwise(
+        F.greatest(F.lit(min_interval_s),
+                   F.least(F.lit(max_interval_s),
+                           # floor, not cast: double->long CAST truncates in
+                           # Spark but ROUNDS in DuckDB — floor() agrees
+                           F.floor(span_s / (F.col("n_changes") + 1)))))
+    return per_url.select(
+        "url", "n_crawls", "n_changes",
+        est.cast("long").alias("est_interval_s"),
+        (F.col("_last") + F.make_interval(secs=est)).alias("next_due_ts"))

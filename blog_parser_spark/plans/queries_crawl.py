@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import links, urlnorm
+from ..operators import links, recrawl, urlnorm
 from ..sources import io, warc
 from .registry import register
 
@@ -116,3 +116,86 @@ GROUP BY canonical_key
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = io.synth_pages(spark, sf_dir, with_canonical=True)
     return urlnorm.canonical_groups(pages)
+
+
+# ---------------------------------------------------------------------------
+# recrawl_schedule — per-url change-rate estimation over a synthetic
+# crawl history (2..5 crawls per url; the fingerprint version at crawl i
+# is the closed-form cumulative count of change events, so both engines
+# derive the identical history with no extra fixture). One shuffle: the
+# lag window and the per-url aggregate share the url partitioning.
+# ---------------------------------------------------------------------------
+
+@register("recrawl_schedule", f"""
+WITH h AS (
+  SELECT {_URL_SQL} AS url, doc_id,
+         unnest(range(0, 2 + doc_id % 4)) AS i
+  FROM documents
+),
+c AS (
+  SELECT url,
+    TIMESTAMP '2024-01-01' + (doc_id % 90) * INTERVAL 1 DAY
+      + (doc_id % 86400) * INTERVAL 1 SECOND
+      + i * (1 + doc_id % 7) * INTERVAL 1 DAY AS crawl_ts,
+    'v' || CAST(COALESCE(list_sum(list_transform(range(1, i + 1),
+        j -> CASE WHEN (doc_id * 7 + j * 13) % 10 < 3 THEN 1 ELSE 0 END)), 0)
+        AS VARCHAR) AS content_fp
+  FROM h
+),
+f AS (
+  SELECT url, crawl_ts, content_fp,
+    CASE WHEN content_fp <> lag(content_fp)
+         OVER (PARTITION BY url ORDER BY crawl_ts, content_fp)
+         THEN 1 ELSE 0 END AS ch
+  FROM c
+),
+p AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_crawls,
+         CAST(COALESCE(sum(ch), 0) AS BIGINT) AS n_changes,
+         min(crawl_ts) AS first_ts, max(crawl_ts) AS last_ts
+  FROM f GROUP BY url
+),
+e AS (
+  SELECT url, n_crawls, n_changes, last_ts,
+    CASE WHEN n_crawls <= 1 THEN {30 * 86400 // 2}
+         ELSE greatest(3600, least({30 * 86400},
+              CAST(floor((CAST(epoch(last_ts) AS BIGINT)
+                          - CAST(epoch(first_ts) AS BIGINT))
+                         / (n_changes + 1)) AS BIGINT)))
+    END AS est_interval_s
+  FROM p
+)
+SELECT url, n_crawls, n_changes, CAST(est_interval_s AS BIGINT) AS est_interval_s,
+       last_ts + est_interval_s * INTERVAL 1 SECOND AS next_due_ts
+FROM e
+""")
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hist = (docs
+            .select("doc_id", "source",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        (F.lit(1) + (F.col("doc_id") % 4)).cast("int")))
+                    .alias("i"))
+            .select(
+                F.concat(F.lit("https://"), "source",
+                         F.lit(".example.com/post/"),
+                         F.col("doc_id").cast("string")).alias("url"),
+                F.expr(
+                    "timestamp'2024-01-01'"
+                    " + make_interval(0,0,0, cast(doc_id % 90 as int), 0,0,"
+                    "                 cast(doc_id % 86400 as int))"
+                    " + make_interval(0,0,0, cast(i * (1 + doc_id % 7) as int), 0,0,0)"
+                ).alias("crawl_ts"),
+                F.concat(F.lit("v"), F.aggregate(
+                    # sequence(1, i) is DESCENDING [1,0] when i=0 in Spark
+                    # (not empty like DuckDB's range) — build 0..i ascending
+                    # and drop j=0 instead
+                    F.filter(F.sequence(F.lit(0), F.col("i")),
+                             lambda j: j >= 1),
+                    F.lit(0),
+                    lambda acc, j: acc + F.when(
+                        (F.col("doc_id") * 7 + j * 13) % 10 < 3,
+                        F.lit(1)).otherwise(F.lit(0))).cast("string"))
+                .alias("content_fp")))
+    return recrawl.recrawl_schedule(hist)

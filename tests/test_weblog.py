@@ -312,3 +312,45 @@ def test_interval_coalesce_matches_bruteforce(spark):
         want = (len(merged), sum(e - s for s, e in merged),
                 max(e - s for s, e in merged))
         assert got[user] == want, f"user {user}"
+
+
+def test_recrawl_schedule_hand_computed(spark):
+    """Cho-style change-rate estimation: exact integer arithmetic,
+    cold-start prior, clamping, and the one-shuffle plan property."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from blog_parser_spark.operators import recrawl
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def c(url, day, fp):
+        return Row(url=url, crawl_ts=t0 + dt.timedelta(days=day), content_fp=fp)
+
+    rows = [
+        # u1: 3 crawls over 10 days, 1 change -> floor(10d / 2) = 5d
+        c("u1", 0, "a"), c("u1", 4, "a"), c("u1", 10, "b"),
+        # u2: 2 crawls 1h apart, changes every time -> clamped to MIN (1h)
+        Row(url="u2", crawl_ts=t0, content_fp="x"),
+        Row(url="u2", crawl_ts=t0 + dt.timedelta(minutes=30), content_fp="y"),
+        # u3: single crawl -> cold-start prior = MAX/2
+        c("u3", 0, "z"),
+        # u4: 2 crawls 90 days apart, never changes -> clamped to MAX (30d)
+        c("u4", 0, "w"), c("u4", 90, "w"),
+    ]
+    out = recrawl.recrawl_schedule(spark.createDataFrame(rows))
+    got = {r.url: r for r in out.collect()}
+    assert (got["u1"].n_crawls, got["u1"].n_changes) == (3, 1)
+    assert got["u1"].est_interval_s == 5 * 86400
+    assert got["u1"].next_due_ts == t0 + dt.timedelta(days=15)
+    assert got["u2"].est_interval_s == recrawl.MIN_INTERVAL_S
+    assert got["u3"].n_crawls == 1
+    assert got["u3"].est_interval_s == recrawl.MAX_INTERVAL_S // 2
+    assert got["u4"].n_changes == 0
+    assert got["u4"].est_interval_s == recrawl.MAX_INTERVAL_S
+
+    # one shuffle total: the window and the groupBy share the url key
+    # (count only the AQE final plan, not the echoed initial plan)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
