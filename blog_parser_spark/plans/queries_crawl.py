@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import links, recrawl, urlnorm
+from ..operators import links, recrawl, robots, urlnorm
 from ..sources import io, warc
 from .registry import register
 
@@ -199,3 +199,46 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(1)).otherwise(F.lit(0))).cast("string"))
                 .alias("content_fp")))
     return recrawl.recrawl_schedule(hist)
+
+
+# ---------------------------------------------------------------------------
+# sitemap_coverage — declared-vs-fetched audit. The Spark side BUILDS each
+# host's sitemap XML (even doc_ids listed, plus phantom never-crawled
+# urls for doc_id % 10 == 0), re-PARSES it with regexp_extract_all, and
+# full-outer-joins against the fetch log; the oracle derives all four
+# counters in closed form from doc_id. Any loss in the XML build/parse
+# or join bookkeeping breaks a counter.
+# ---------------------------------------------------------------------------
+
+@register("sitemap_coverage", """
+WITH d AS (SELECT doc_id, source || '.example.com' AS host FROM documents)
+SELECT host,
+  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+     + sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_listed,
+  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fetched,
+  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unlisted
+FROM d
+GROUP BY host
+""")
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/post/"),
+                   F.col("doc_id").cast("string"))
+    phantom = F.concat(F.lit("https://"), host, F.lit("/post/"),
+                       (F.col("doc_id") + 1_000_000).cast("string"))
+    entries = (docs.filter(F.col("doc_id") % 2 == 0)
+               .select(host.alias("host"), url.alias("loc"))
+               .unionByName(
+                   docs.filter(F.col("doc_id") % 10 == 0)
+                   .select(host.alias("host"), phantom.alias("loc"))))
+    sitemaps = entries.groupBy("host").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(F.array_sort(F.collect_list(
+                F.concat(F.lit("<url><loc>"), F.col("loc"),
+                         F.lit("</loc></url>")))), ""),
+            F.lit("</urlset>")).alias("sitemap_xml"))
+    fetched = docs.select(url.alias("url"))
+    return robots.sitemap_coverage(sitemaps, fetched)

@@ -227,3 +227,40 @@ def test_heavy_hitters_null_keys_excluded_by_contract(spark):
                      df.repartition(5), "k", capacity=3).collect())
     # non-null stream has 40 rows: a=30 (30*4>40), b=10 (40 not >40)
     assert got == [("a", 30, 40)]
+
+
+def test_sitemap_coverage_hand_computed(spark):
+    """parse_sitemap + coverage rollup: hosts with phantom locs, unlisted
+    fetches, a host with no sitemap at all, and a sitemap whose host was
+    never fetched."""
+    from pyspark.sql import Row
+    from blog_parser_spark.operators import robots
+
+    sitemaps = spark.createDataFrame([
+        Row(host="a.com", sitemap_xml=(
+            "<urlset>"
+            "<url><loc>https://a.com/1</loc></url>"
+            "<url><loc>https://a.com/2</loc></url>"
+            "<url><loc>https://a.com/ghost</loc></url>"
+            "</urlset>")),
+        # sitemap exists, host never fetched
+        Row(host="c.com", sitemap_xml=
+            "<urlset><url><loc>https://c.com/1</loc></url></urlset>"),
+    ])
+    fetched = spark.createDataFrame([
+        Row(url="https://a.com/1"),
+        Row(url="https://a.com/2"),
+        Row(url="https://a.com/3"),       # unlisted
+        Row(url="https://b.com/1"),       # host with no sitemap
+    ])
+    got = {r.host: r for r in robots.sitemap_coverage(sitemaps, fetched).collect()}
+    assert (got["a.com"].n_listed, got["a.com"].n_fetched,
+            got["a.com"].n_missing, got["a.com"].n_unlisted) == (3, 2, 1, 1)
+    assert (got["b.com"].n_listed, got["b.com"].n_unlisted) == (0, 1)
+    assert (got["c.com"].n_listed, got["c.com"].n_missing) == (1, 1)
+    assert len(got) == 3
+
+    # parse is pure JVM: no Python stage anywhere in the audit plan
+    out = robots.sitemap_coverage(sitemaps, fetched)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
