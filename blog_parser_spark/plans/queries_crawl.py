@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import links, recrawl, robots, urlnorm
+from ..operators import links, parse, recrawl, robots, urlnorm
 from ..sources import io, warc
 from .registry import register
 
@@ -242,3 +242,33 @@ def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</urlset>")).alias("sitemap_xml"))
     fetched = docs.select(url.alias("url"))
     return robots.sitemap_coverage(sitemaps, fetched)
+
+
+# ---------------------------------------------------------------------------
+# export_wet_text — the WARC/WET round trip through the REAL parse
+# pipeline: render pages, run the flagship parse UDF, pack the extracted
+# text into WET files (WARC conversion records), read the raw WET bytes
+# back, and compare each recovered text byte-for-byte against the
+# ground-truth documents.text. One green row per document == the whole
+# parse -> export -> re-ingest loop is lossless.
+# ---------------------------------------------------------------------------
+
+@register("export_wet_text", f"""
+SELECT {_URL_SQL} AS url, true AS byte_identical
+FROM documents
+""")
+def q_export_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir)
+    parsed = parse.parse_pages(pages).select("url", "warc_ts", "extracted_text")
+    wet = warc.pack_wet_files(parsed, docs_per_file=25)
+    back = warc.read_warc(wet, rec_type="conversion").select(
+        "url", F.col("html").cast("string").alias("recovered_text"))
+    truth = io.read_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), "source", F.lit(".example.com/post/"),
+                 F.col("doc_id").cast("string")).alias("t_url"),
+        F.col("text").alias("t_text"))
+    return (back
+            .join(truth, back["url"] == truth["t_url"], "left")
+            .select(back["url"],
+                    (F.col("recovered_text") == F.col("t_text"))
+                    .alias("byte_identical")))

@@ -88,8 +88,35 @@ def pack_warc_files(pages: DataFrame, docs_per_file: int = 25) -> DataFrame:
             .applyInPandas(render, WARC_FILE_SCHEMA))
 
 
-def read_warc(files: DataFrame) -> DataFrame:
-    """(warc_file, content) -> one row per response record (+ quarantine).
+def pack_wet_files(extracted: DataFrame, docs_per_file: int = 25) -> DataFrame:
+    """(url, warc_ts, extracted_text) -> WET files: the extracted-text
+    sibling of the page archive (Common Crawl's WARC/WAT/WET triple —
+    WET IS the WARC container holding conversion records whose payload
+    is the extracted UTF-8 text). Same closed-form file layout as
+    pack_warc_files so the oracle can reproduce it."""
+    def render(key, pdf):
+        pdf = pdf.sort_values("_doc_id")
+        recs = [(r.url, _fmt_warc_date(r.warc_ts),
+                 r.extracted_text.encode("utf-8"))
+                for r in pdf.itertuples()]
+        name = f"extract-{int(key[0]):06d}.warc.wet"
+        return pd.DataFrame({"warc_file": [name],
+                             "content": [spec.render_warc_file(
+                                 recs, rec_type="conversion")]})
+
+    keyed = extracted.withColumn(
+        "_doc_id", F.regexp_extract("url", _DOC_ID_RE, 1).cast("long"))
+    return (keyed
+            .groupBy((F.col("_doc_id") / docs_per_file).cast("long").alias("_fid"))
+            .applyInPandas(render, WARC_FILE_SCHEMA))
+
+
+def read_warc(files: DataFrame, rec_type: str = "response") -> DataFrame:
+    """(warc_file, content) -> one row per rec_type record (+ quarantine).
+    rec_type="response" reads page archives (payload -> html column);
+    "conversion" reads WET text files (payload = the UTF-8 extracted
+    text, still returned in the binary html slot — decode at the caller,
+    which knows the type it asked for).
 
     Each archive is parsed binary-safely via Content-Length framing
     (spec.parse_warc_file). A framing error emits the file's good prefix
@@ -101,7 +128,7 @@ def read_warc(files: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for name, content in zip(pdf["warc_file"], pdf["content"]):
-                recs, err = spec.parse_warc_file(bytes(content))
+                recs, err = spec.parse_warc_file(bytes(content), rec_type=rec_type)
                 rows.extend((r.url, _parse_warc_date(r.warc_date), r.payload,
                              name, r.offset, None) for r in recs)
                 if err is not None:

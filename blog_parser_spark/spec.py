@@ -285,24 +285,31 @@ def render_warc_record(rec_type: str, url: str | None, warc_date: str,
 
 
 def render_warc_file(records: list[tuple[str, str, bytes]],
-                     info_date: str | None = None) -> bytes:
-    """(url, warc_date, payload) response records -> one WARC file's bytes,
-    led by a warcinfo record (like real crawler output — the parser must
-    skip non-response records, and every fixture file exercises that)."""
+                     info_date: str | None = None,
+                     rec_type: str = "response") -> bytes:
+    """(url, warc_date, payload) records -> one WARC file's bytes, led by
+    a warcinfo record (like real crawler output — the parser must skip
+    non-matching record types, and every fixture file exercises that).
+    rec_type="response" renders page archives, "conversion" renders WET
+    extracted-text files."""
     first_date = info_date or (records[0][1] if records else "2024-01-01T00:00:00Z")
     buf = [render_warc_record("warcinfo", None, first_date, WARC_INFO_PAYLOAD)]
-    buf.extend(render_warc_record("response", u, d, p) for u, d, p in records)
+    buf.extend(render_warc_record(rec_type, u, d, p) for u, d, p in records)
     return b"".join(buf)
 
 
-def parse_warc_file(data: bytes) -> tuple[list[WarcRecord], str | None]:
-    """Binary-safe WARC walk. Returns (response records in file order, err).
+def parse_warc_file(data: bytes,
+                    rec_type: str = "response") -> tuple[list[WarcRecord], str | None]:
+    """Binary-safe WARC walk. Returns (rec_type records in file order, err).
 
-    Non-response records are skipped (expected: warcinfo/request/metadata).
-    The first malformed structure stops the walk — after a framing error
-    the remaining offsets are untrustworthy, so the caller quarantines the
-    file tail loudly (err is a position-stamped reason) instead of
-    resyncing heuristically and risking silent drops.
+    rec_type="response" reads WARC page archives; "conversion" reads WET
+    extracted-text files (same container grammar — WET IS WARC with
+    conversion records). Other record types are skipped (expected:
+    warcinfo/request/metadata). The first malformed structure stops the
+    walk — after a framing error the remaining offsets are untrustworthy,
+    so the caller quarantines the file tail loudly (err is a
+    position-stamped reason) instead of resyncing heuristically and
+    risking silent drops.
     """
     out: list[WarcRecord] = []
     pos = 0
@@ -336,11 +343,11 @@ def parse_warc_file(data: bytes) -> tuple[list[WarcRecord], str | None]:
         step = 4 if tail == b"\r\n\r\n" else 2
         if step == 2 and body_end + 2 != n:
             return out, f"missing record trailer at byte {pos}"
-        if fields.get("warc-type") == "response":
+        if fields.get("warc-type") == rec_type:
             url = fields.get("warc-target-uri")
             date = fields.get("warc-date")
             if url is None or date is None:
-                return out, f"response record missing URI/Date at byte {pos}"
+                return out, f"{rec_type} record missing URI/Date at byte {pos}"
             out.append(WarcRecord(url, date, data[body_start:body_end], pos))
         pos = body_end + step
     return out, None

@@ -121,3 +121,29 @@ def test_warc_date_round_trips_session_utc(spark):
     s = warc._fmt_warc_date(ts)
     assert s == "2024-03-04T05:06:07Z"
     assert warc._parse_warc_date(s) == ts
+
+
+def test_wet_conversion_records_type_filtered():
+    wet = spec.render_warc_file([("u1", _D, "hello world".encode())],
+                                rec_type="conversion")
+    as_response, err1 = spec.parse_warc_file(wet)                     # default
+    as_wet, err2 = spec.parse_warc_file(wet, rec_type="conversion")
+    assert err1 is None and err2 is None
+    assert as_response == []            # response reader skips conversion recs
+    assert len(as_wet) == 1 and as_wet[0].payload == b"hello world"
+
+
+def test_wet_export_round_trip_spark(spark):
+    from blog_parser_spark.operators import parse
+
+    pages = io.synth_pages(spark, SF_DIR)
+    parsed = parse.parse_pages(pages, keep_text=True)
+    wet = warc.pack_wet_files(
+        parsed.select("url", "warc_ts", "extracted_text"), docs_per_file=10)
+    back = warc.read_warc(wet, rec_type="conversion").select(
+        "url", F.col("html").cast("string").alias("recovered"))
+    truth = parsed.select("url", "text")
+    j = back.join(truth, "url", "inner")
+    n = pages.count()
+    assert back.count() == n == j.count()
+    assert j.filter(F.col("recovered") != F.col("text")).count() == 0
