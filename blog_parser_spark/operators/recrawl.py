@@ -59,3 +59,40 @@ def recrawl_schedule(crawls: DataFrame,
         "url", "n_crawls", "n_changes",
         est.cast("long").alias("est_interval_s"),
         (F.col("_last") + F.make_interval(secs=est)).alias("next_due_ts"))
+
+
+def allocate_budget(hosts: DataFrame, budget: int,
+                    host_col: str = "host",
+                    weight_col: str = "weight") -> DataFrame:
+    """(host, weight) -> (host, weight, quota): split a global per-cycle
+    fetch budget across hosts proportionally to priority weight, in EXACT
+    integer arithmetic (Hamilton / largest-remainder apportionment):
+    base_i = (B * w_i) div W, the leftover R = B - sum(base) goes +1 each
+    to the R largest remainders (ties broken by host ascending — fully
+    deterministic, no floats anywhere, so retries and the DuckDB oracle
+    agree bit-for-bit). Guarantees sum(quota) == B and every quota within
+    1 of its exact proportional share.
+
+    Scale shape: this runs on the HOST aggregate (orders of magnitude
+    smaller than the fetch log — same pattern as the attribution/trending
+    ops, whose windows also run on the tiny rollup, never the stream).
+    W and R attach as one-row broadcast aggregates (in-plan, no driver
+    collect); the only ordering is the remainder window over that host
+    table. Integer division via SQL `div`: B*w on BIGINT would lose
+    precision past 2^53 if done in doubles.
+    """
+    h = hosts.select(F.col(host_col).alias("host"),
+                     F.col(weight_col).cast("long").alias("weight"))
+    w_total = h.agg(F.sum("weight").alias("w_total"))
+    scaled = (h.crossJoin(F.broadcast(w_total))
+              .select("host", "weight",
+                      F.expr(f"({budget} * weight) div w_total").alias("base"),
+                      F.expr(f"({budget} * weight) % w_total").alias("rem")))
+    leftover = scaled.agg(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("leftover"))
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (scaled.crossJoin(F.broadcast(leftover))
+            .select("host", "weight",
+                    (F.col("base")
+                     + F.when(F.row_number().over(w) <= F.col("leftover"), 1)
+                     .otherwise(0)).cast("long").alias("quota")))

@@ -272,3 +272,42 @@ def q_export_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(back["url"],
                     (F.col("recovered_text") == F.col("t_text"))
                     .alias("byte_identical")))
+
+
+# ---------------------------------------------------------------------------
+# crawl_budget_allocate — Hamilton largest-remainder apportionment of a
+# global fetch budget over per-host priority weights. Exact integers end
+# to end (BIGINT div/%, remainder-ranked leftover distribution with host
+# tie-break); both engines compute the identical quota vector, and the
+# property test asserts sum(quota) == budget with every quota within one
+# of its exact proportional share.
+# ---------------------------------------------------------------------------
+
+_BUDGET = 10_000
+
+
+@register("crawl_budget_allocate", f"""
+WITH h AS (
+  SELECT source || '.example.com' AS host,
+         CAST(SUM(doc_id % 97 + 1) AS BIGINT) AS weight
+  FROM documents GROUP BY host
+),
+t AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM h),
+b AS (
+  SELECT host, weight,
+         ({_BUDGET} * weight) // w_total AS base,
+         ({_BUDGET} * weight) %  w_total AS rem
+  FROM h, t
+),
+r AS (SELECT CAST({_BUDGET} - SUM(base) AS BIGINT) AS leftover FROM b)
+SELECT host, weight,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, host)
+                             <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM b, r
+""")
+def q_crawl_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents")
+    hosts = (docs.groupBy(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"))
+        .agg(F.sum(F.col("doc_id") % 97 + 1).alias("weight")))
+    return recrawl.allocate_budget(hosts, _BUDGET)

@@ -264,3 +264,33 @@ def test_sitemap_coverage_hand_computed(spark):
     out = robots.sitemap_coverage(sitemaps, fetched)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_budget_allocation_properties(spark):
+    """Hamilton apportionment invariants: quotas sum EXACTLY to the
+    budget, every quota is floor-or-ceil of its exact share, ties are
+    host-deterministic, and BIGINT-scale weights don't lose precision."""
+    from pyspark.sql import Row
+    from blog_parser_spark.operators import recrawl
+
+    hosts = spark.createDataFrame(
+        [Row(host=f"h{i:02d}", weight=(i * 37 + 1) % 101 + 1)
+         for i in range(23)])
+    budget = 997  # prime: guarantees remainders
+    out = recrawl.allocate_budget(hosts, budget).collect()
+    w_total = sum(r.weight for r in out)
+    assert sum(r.quota for r in out) == budget
+    for r in out:
+        exact = budget * r.weight / w_total
+        assert r.quota in (int(exact), int(exact) + 1)
+
+    # degenerate: budget smaller than host count -> only top remainders get 1
+    tiny = recrawl.allocate_budget(hosts, 3).collect()
+    assert sum(r.quota for r in tiny) == 3
+    assert all(r.quota in (0, 1) for r in tiny)
+
+    # huge weights: (B * w) stays exact in BIGINT (would corrupt in doubles)
+    big = spark.createDataFrame(
+        [Row(host="a", weight=(1 << 40) + 1), Row(host="b", weight=(1 << 40) - 1)])
+    out2 = {r.host: r.quota for r in recrawl.allocate_budget(big, 1001).collect()}
+    assert out2["a"] + out2["b"] == 1001 and abs(out2["a"] - out2["b"]) <= 1
