@@ -235,6 +235,23 @@ def main() -> None:
     stream_wall, stream_batches = _run_grok_stream()
     timings["grok_stream_availablenow"] = stream_wall
 
+    # WARC archive round trip at ~100k pages: pack into WARC/1.0 files
+    # (25 docs/archive) and parse the raw bytes back — the source-layer
+    # cost of ingesting Common Crawl's native container (round 4). Both
+    # directions are single Arrow stages; parallelism = archive files.
+    from blog_parser_spark.sources import warc as warc_ops
+    warc_pages = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0)
+    n_warc = warc_pages.count()
+
+    def _warc_roundtrip() -> float:
+        t0 = time.time()
+        (warc_ops.read_warc(warc_ops.pack_warc_files(warc_pages, 25))
+         .write.mode("overwrite").format("noop").save())
+        return time.time() - t0
+
+    _warc_roundtrip()
+    timings["warc_roundtrip_100k"] = _warc_roundtrip()
+
     # VM-speed reference leg: a FIXED pure-JVM workload that no repo code
     # touches (range -> xxhash64 -> sum; no IO, no Python, no shuffle), so
     # cross-round readers can separate engine changes from host-speed
@@ -267,6 +284,9 @@ def main() -> None:
         "grok_stream_sec_per_batch": round(
             stream_wall / max(stream_batches, 1), 3),
         "docs_per_sec": round(n_docs / flagship, 1),
+        "warc_docs": n_warc,
+        "warc_roundtrip_docs_per_sec": round(
+            n_warc / timings["warc_roundtrip_100k"], 1),
         "cold_first_run_sec": round(cold, 3),
         "cpus": cpus,
         "vm_user_ticks": user1 - user0,

