@@ -17,7 +17,7 @@ one source of truth for both directions):
   all; .warc.gz members would gunzip inside the same map stage).
 
 Scale shape: both directions are ONE Arrow-batched Python stage and zero
-shuffles beyond pack's groupBy on file id. Payload bytes cross Arrow
+shuffles beyond pack's repartition on file id. Payload bytes cross Arrow
 once; a malformed file never throws — it yields its good prefix plus a
 position-stamped quarantine row (url NULL, warc_err set), so corrupt
 archives are counted, never silently dropped (same contract as the
