@@ -73,3 +73,43 @@ def join_ip_ranges(df: DataFrame, ranges: DataFrame,
            (F.col("_ip_long") <= F.col("end_ip"))
     return (fact.join(F.broadcast(ranges), cond, "left")
             .drop("_ip_long"))
+
+
+# --- charset sniffing ---------------------------------------------------------
+
+UTF8_BOM = bytes([0xEF, 0xBB, 0xBF])
+
+
+def charset_flags(html: Column) -> tuple[Column, Column]:
+    """(is_valid_utf8, has_bom) for a binary html column — pure JVM, no
+    Python stage. Validity via the encode-round-trip trick: CAST(binary
+    AS STRING) decodes as UTF-8 replacing invalid sequences, so the
+    bytes survive a decode->re-encode round trip unchanged IFF they were
+    valid UTF-8. NULL html -> NULL flags (unknown, not false)."""
+    round_trip = F.encode(html.cast("string"), "UTF-8")
+    is_valid = F.when(html.isNull(), F.lit(None).cast("boolean")) \
+        .otherwise(html == round_trip)
+    has_bom = F.when(html.isNull(), F.lit(None).cast("boolean")) \
+        .otherwise(F.startswith(html, F.lit(UTF8_BOM)))
+    return is_valid, has_bom
+
+
+def charset_census(pages: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Encoding hygiene rollup the ingest edge of a crawl pipeline runs
+    before parsing (mojibake upstream poisons every stage downstream):
+    per group — pages, n_utf8 (clean), n_bom (byte-order-marked: valid
+    but needs stripping before byte-exact dedup), n_invalid (will take
+    the parse-failure path). Map-only flag projection fused into the
+    scan + ONE map-combined aggregate."""
+    is_valid, has_bom = charset_flags(F.col("html"))
+    return (pages
+            .select(F.col(group_col).alias("grp"),
+                    is_valid.alias("_v"), has_bom.alias("_b"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("pages"),
+                 F.sum(F.when(F.col("_v"), 1).otherwise(0))
+                 .cast("long").alias("n_utf8"),
+                 F.sum(F.when(F.col("_b"), 1).otherwise(0))
+                 .cast("long").alias("n_bom"),
+                 F.sum(F.when(~F.col("_v"), 1).otherwise(0))
+                 .cast("long").alias("n_invalid")))

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import links, parse, recrawl, robots, urlnorm
+from ..operators import enrich, links, parse, recrawl, robots, urlnorm
 from ..sources import io, warc
 from .registry import register
 
@@ -311,3 +311,40 @@ def q_crawl_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("source"), F.lit(".example.com")).alias("host"))
         .agg(F.sum(F.col("doc_id") % 97 + 1).alias("weight")))
     return recrawl.allocate_budget(hosts, _BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# charset_census — encoding hygiene at the ingest edge: UTF-8 validity
+# via the pure-JVM encode-round-trip trick (bytes survive decode->encode
+# unchanged IFF valid UTF-8), BOM detection via binary startswith. The
+# fixture corrupts pages in-query (BOM prepended for doc_id % 11 == 0,
+# 0xFF appended for doc_id % 13 == 0), so the oracle is closed-form and
+# the Spark side must actually detect real byte-level damage.
+# ---------------------------------------------------------------------------
+
+@register("charset_census", """
+WITH d AS (
+  SELECT lang,
+    CASE WHEN doc_id % 11 = 0 THEN 'bom'
+         WHEN doc_id % 13 = 0 THEN 'bad'
+         ELSE 'ok' END AS kind
+  FROM documents
+)
+SELECT lang AS grp, CAST(count(*) AS BIGINT) AS pages,
+  CAST(sum(CASE WHEN kind <> 'bad' THEN 1 ELSE 0 END) AS BIGINT) AS n_utf8,
+  CAST(sum(CASE WHEN kind = 'bom'  THEN 1 ELSE 0 END) AS BIGINT) AS n_bom,
+  CAST(sum(CASE WHEN kind = 'bad'  THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+FROM d
+GROUP BY grp
+""")
+def q_charset_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+    damaged = pages.select(
+        "lang",
+        F.when(doc_id % 11 == 0,
+               F.concat(F.lit(bytearray(enrich.UTF8_BOM)), F.col("html")))
+        .when(doc_id % 13 == 0,
+              F.concat(F.col("html"), F.lit(bytearray([0xFF]))))
+        .otherwise(F.col("html")).alias("html"))
+    return enrich.charset_census(damaged, group_col="lang")

@@ -195,3 +195,33 @@ def test_warc_ingest_stream_matches_batch_and_resumes(spark, tmp_path):
     exp = warc.read_warc(files).select("url", "warc_ts", "html")
     assert got.count() == pages.count()
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_charset_flags_hand_cases(spark):
+    """Encode-round-trip UTF-8 validity + BOM detection on hand-crafted
+    bytes — pure JVM (no Python stage)."""
+    from blog_parser_spark.operators import enrich
+
+    cases = [
+        ("valid", "héllo <p>ok</p>".encode()),
+        ("bom", enrich.UTF8_BOM + b"text"),
+        ("invalid", b"ab\xff\xfecd"),
+        ("truncated_mb", "é".encode()[:1]),   # dangling continuation lead
+        ("empty", b""),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(cases, "name string, html binary")
+    v, b = enrich.charset_flags(F.col("html"))
+    got = {r.name: (r.v, r.b) for r in
+           df.select("name", v.alias("v"), b.alias("b")).collect()}
+    assert got["valid"] == (True, False)
+    assert got["bom"] == (True, True)
+    assert got["invalid"] == (False, False)
+    assert got["truncated_mb"] == (False, False)
+    assert got["empty"] == (True, False)
+    assert got["null"] == (None, None)
+
+    out = enrich.charset_census(
+        df.withColumnRenamed("name", "lang"), group_col="lang")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

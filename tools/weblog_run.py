@@ -2,7 +2,7 @@
 executions of the round-4 web-log operators over pre-materialized
 corpora. Spawned by tools/weblog_scale_bench.py; prints one JSON line.
 
-Usage: python tools/weblog_run.py <docs_parquet> <events_parquet> <cores> <n_runs>
+Usage: python tools/weblog_run.py <docs_parquet> <events_parquet> <cores> <n_runs> [pages_parquet]
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ def main() -> None:
     from blog_parser_spark.operators import (boilerplate, heavyhitters,
                                              robots, urlnorm, weblog)
     from blog_parser_spark.session import get_spark
+    from blog_parser_spark.sources import warc
 
     spark = get_spark(f"weblog-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=4 * cores)
@@ -60,6 +61,14 @@ def main() -> None:
             robots.politeness_audit(fetches, robots.rules_df(spark)),
         "url_path_templates": urlnorm.template_census(fetches),
     }
+    if len(sys.argv) > 6:
+        # WARC directions timed separately at realistic archive size
+        # (1000 pages/file) — production runs one at a time: pack is the
+        # export/mirror path, read is the Common-Crawl ingest path
+        pages = spark.read.parquet(sys.argv[5])
+        packed = spark.read.parquet(sys.argv[6])
+        legs["warc_pack"] = warc.pack_warc_files(pages, docs_per_file=1000)
+        legs["warc_read"] = warc.read_warc(packed)
 
     out: dict[str, object] = {"cores": cores, "docs": n_docs,
                               "events": n_events}

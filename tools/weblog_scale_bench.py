@@ -31,7 +31,7 @@ def _cpu_ticks() -> tuple[int, int]:
     return int(parts[1]), int(parts[8])
 
 
-def build_corpora(target_docs: int, target_events: int) -> tuple[str, str]:
+def build_corpora(target_docs: int, target_events: int) -> tuple[str, str, str]:
     from pyspark.sql import functions as F
 
     from blog_parser_spark.session import get_spark
@@ -72,8 +72,30 @@ def build_corpora(target_docs: int, target_events: int) -> tuple[str, str]:
                      + F.col("i").cast("long") * F.lit(10**6))
          .drop("i").repartition(128).write.mode("overwrite").parquet(tmp))
         os.rename(tmp, ev_path)
+
+    # rendered pages for the WARC pack leg — same cache path scheme as
+    # bench.py so the corpus is shared across harnesses
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    pages_path = f"/tmp/bench_pages_sf{sf}_x{rep}.parquet"
+    if not os.path.exists(pages_path):
+        tmp = pages_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (io.synth_pages(spark, SF_DIR, replicate=rep)
+         .repartition(128).write.mode("overwrite").parquet(tmp))
+        os.rename(tmp, pages_path)
+
+    # pre-packed archives for the WARC read leg (pack timed separately;
+    # production only ever runs one direction at a time)
+    from blog_parser_spark.sources import warc
+    packed_path = f"/tmp/bench_warc_sf{sf}_x{rep}.parquet"
+    if not os.path.exists(packed_path):
+        tmp = packed_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (warc.pack_warc_files(spark.read.parquet(pages_path), 1000)
+         .write.mode("overwrite").parquet(tmp))
+        os.rename(tmp, packed_path)
     spark.stop()
-    return docs_path, ev_path
+    return docs_path, ev_path, pages_path, packed_path
 
 
 def main() -> None:
@@ -84,14 +106,15 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
-    docs_path, ev_path = build_corpora(args.docs, args.events)
+    docs_path, ev_path, pages_path, packed_path = build_corpora(
+        args.docs, args.events)
     u0, s0 = _cpu_ticks()
     results = {}
     for cores in (args.n, 4 * args.n):
         out = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}", sys.executable,
              "tools/weblog_run.py", docs_path, ev_path,
-             str(cores), str(args.runs)],
+             str(cores), str(args.runs), pages_path, packed_path],
             capture_output=True, text=True, check=True)
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
         print(out.stdout.strip().splitlines()[-1])
@@ -100,7 +123,8 @@ def main() -> None:
     lo, hi = results[args.n], results[4 * args.n]
     legs = ["boilerplate_strip", "rolling_distinct_users",
             "attribution_last_touch", "heavy_hitters_exact",
-            "robots_politeness", "url_path_templates"]
+            "robots_politeness", "url_path_templates",
+            "warc_pack", "warc_read"]
     summary: dict[str, object] = {
         "docs": lo["docs"], "events": lo["events"],
         "steal_user_ratio": round((s1 - s0) / max(1, u1 - u0), 3),
