@@ -348,3 +348,143 @@ def q_charset_census(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.concat(F.col("html"), F.lit(bytearray([0xFF]))))
         .otherwise(F.col("html")).alias("html"))
     return enrich.charset_census(damaged, group_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# crawl_cycle_schedule — the production crawl-cycle composite, chaining
+# this round's operators end-to-end the way a scheduler actually runs
+# them: change-rate schedule -> due-now filter -> robots-style blocking
+# -> Hamilton per-host budget -> deterministic per-host fetch order.
+# Output is the url-level fetch list (host, url, position) for the
+# cycle. Shuffle story: schedule runs on its one url shuffle; the due/
+# blocked filters are map-only; the weight rollup, quota attach, and the
+# per-host ordering window all share the host key; quota rows broadcast.
+# ---------------------------------------------------------------------------
+
+_CYCLE_T = "TIMESTAMP '2024-03-01 00:00:00'"
+_CYCLE_BUDGET = 200
+
+
+@register("crawl_cycle_schedule", f"""
+WITH h AS (
+  SELECT {_URL_SQL} AS url, doc_id,
+         unnest(range(0, 2 + doc_id % 4)) AS i
+  FROM documents
+),
+c AS (
+  SELECT url,
+    TIMESTAMP '2024-01-01' + (doc_id % 90) * INTERVAL 1 DAY
+      + (doc_id % 86400) * INTERVAL 1 SECOND
+      + i * (1 + doc_id % 7) * INTERVAL 1 DAY AS crawl_ts,
+    'v' || CAST(COALESCE(list_sum(list_transform(range(1, i + 1),
+        j -> CASE WHEN (doc_id * 7 + j * 13) % 10 < 3 THEN 1 ELSE 0 END)), 0)
+        AS VARCHAR) AS content_fp
+  FROM h
+),
+f AS (
+  SELECT url, crawl_ts, content_fp,
+    CASE WHEN content_fp <> lag(content_fp)
+         OVER (PARTITION BY url ORDER BY crawl_ts, content_fp)
+         THEN 1 ELSE 0 END AS ch
+  FROM c
+),
+p AS (
+  SELECT url, count(*) AS n_crawls, COALESCE(sum(ch), 0) AS n_changes,
+         min(crawl_ts) AS first_ts, max(crawl_ts) AS last_ts
+  FROM f GROUP BY url
+),
+sched AS (
+  SELECT url, last_ts
+    + (CASE WHEN n_crawls <= 1 THEN {30 * 86400 // 2}
+            ELSE greatest(3600, least({30 * 86400},
+                 CAST(floor((CAST(epoch(last_ts) AS BIGINT)
+                             - CAST(epoch(first_ts) AS BIGINT))
+                            / (n_changes + 1)) AS BIGINT)))
+       END) * INTERVAL 1 SECOND AS next_due_ts
+  FROM p
+),
+due AS (
+  SELECT url, next_due_ts,
+         regexp_extract(url, 'https://([^/]+)/', 1) AS host
+  FROM sched WHERE next_due_ts <= {_CYCLE_T}
+),
+allowed AS (
+  SELECT * FROM due
+  WHERE NOT (CAST(regexp_extract(host, 'src(\\d+)', 1) AS BIGINT) % 3 = 0
+             AND regexp_extract(url, 'https://[^/]+(/.*)$', 1) LIKE '/post/1%')
+),
+w AS (SELECT host, CAST(count(*) AS BIGINT) AS weight FROM allowed GROUP BY host),
+t AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM w),
+b AS (
+  SELECT host, weight,
+         ({_CYCLE_BUDGET} * weight) // w_total AS base,
+         ({_CYCLE_BUDGET} * weight) %  w_total AS rem
+  FROM w, t
+),
+r AS (SELECT CAST({_CYCLE_BUDGET} - SUM(base) AS BIGINT) AS leftover FROM b),
+q AS (
+  SELECT host,
+         CAST(base + CASE WHEN row_number()
+                               OVER (ORDER BY rem DESC, host) <= leftover
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+  FROM b, r
+),
+ranked AS (
+  SELECT a.host, a.url, q.quota,
+         row_number() OVER (PARTITION BY a.host
+                            ORDER BY a.next_due_ts, a.url) AS pos
+  FROM allowed a JOIN q ON a.host = q.host
+)
+SELECT host, url, CAST(pos AS BIGINT) AS position
+FROM ranked WHERE pos <= quota
+""")
+def q_crawl_cycle_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hist = (docs
+            .select("doc_id", "source",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        (F.lit(1) + (F.col("doc_id") % 4)).cast("int")))
+                    .alias("i"))
+            .select(
+                F.concat(F.lit("https://"), "source",
+                         F.lit(".example.com/post/"),
+                         F.col("doc_id").cast("string")).alias("url"),
+                F.expr(
+                    "timestamp'2024-01-01'"
+                    " + make_interval(0,0,0, cast(doc_id % 90 as int), 0,0,"
+                    "                 cast(doc_id % 86400 as int))"
+                    " + make_interval(0,0,0, cast(i * (1 + doc_id % 7) as int), 0,0,0)"
+                ).alias("crawl_ts"),
+                F.concat(F.lit("v"), F.aggregate(
+                    F.filter(F.sequence(F.lit(0), F.col("i")),
+                             lambda j: j >= 1),
+                    F.lit(0),
+                    lambda acc, j: acc + F.when(
+                        (F.col("doc_id") * 7 + j * 13) % 10 < 3,
+                        F.lit(1)).otherwise(F.lit(0))).cast("string"))
+                .alias("content_fp")))
+    sched = recrawl.recrawl_schedule(hist)
+    due = (sched
+           .filter(F.col("next_due_ts") <= F.expr(_CYCLE_T))
+           .select("url", "next_due_ts",
+                   F.regexp_extract("url", r"https://([^/]+)/", 1)
+                   .alias("host")))
+    blocked_host = (F.regexp_extract("host", r"src(\d+)", 1)
+                    .cast("long") % 3 == 0)
+    blocked_path = F.regexp_extract(
+        "url", r"https://[^/]+(/.*)$", 1).startswith("/post/1")
+    allowed = due.filter(~(blocked_host & blocked_path))
+    weights = allowed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("weight"))
+    quota = recrawl.allocate_budget(weights, _CYCLE_BUDGET).select(
+        "host", "quota")
+    from pyspark.sql import Window
+    w = Window.partitionBy("host").orderBy("next_due_ts", "url")
+    return (allowed
+            .join(F.broadcast(quota), "host")
+            .select("host", "url", F.col("quota"),
+                    F.row_number().over(w).alias("position"))
+            .filter(F.col("position") <= F.col("quota"))
+            .select("host", "url", F.col("position").cast("long")
+                    .alias("position")))

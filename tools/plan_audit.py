@@ -173,6 +173,12 @@ def main() -> None:
         "crawl_budget_allocate (host rollup; W and leftover as one-row "
         "broadcasts; remainder window on the rollup only)":
             qs["crawl_budget_allocate"](spark, SF_DIR),
+        "charset_census (encode-round-trip UTF-8 validity — map-only "
+        "flags + one map-combined agg, zero Python)":
+            qs["charset_census"](spark, SF_DIR),
+        "crawl_cycle_schedule (composite: schedule's url shuffle; "
+        "weights/quota/order all share the host key, quota broadcast)":
+            qs["crawl_cycle_schedule"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
