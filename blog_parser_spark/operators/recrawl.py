@@ -76,23 +76,29 @@ def allocate_budget(hosts: DataFrame, budget: int,
     Scale shape: this runs on the HOST aggregate (orders of magnitude
     smaller than the fetch log — same pattern as the attribution/trending
     ops, whose windows also run on the tiny rollup, never the stream).
-    W and R attach as one-row broadcast aggregates (in-plan, no driver
-    collect); the only ordering is the remainder window over that host
-    table. Integer division via SQL `div`: B*w on BIGINT would lose
-    precision past 2^53 if done in doubles.
+    W, the leftover, and the remainder rank are all GLOBAL WINDOWS over
+    that rollup — deliberately: a first formulation attached W and the
+    leftover as crossJoined one-row aggregates, and because each
+    aggregate is a separate plan branch, Spark re-executed the entire
+    upstream (fetch-log scan -> rollup) once per branch — 4x the
+    expensive work and 8+ exchanges in the composite's plan. The window
+    form is ONE pass over the rollup (a single all-rows partition — the
+    same bounded-rollup pattern the ordering rank already required).
+    Integer division via SQL `div`: B*w on BIGINT would lose precision
+    past 2^53 if done in doubles.
     """
-    h = hosts.select(F.col(host_col).alias("host"),
-                     F.col(weight_col).cast("long").alias("weight"))
-    w_total = h.agg(F.sum("weight").alias("w_total"))
-    scaled = (h.crossJoin(F.broadcast(w_total))
+    glob = Window.partitionBy()
+    rank_w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    scaled = (hosts
+              .select(F.col(host_col).alias("host"),
+                      F.col(weight_col).cast("long").alias("weight"))
+              .withColumn("_wt", F.sum("weight").over(glob))
               .select("host", "weight",
-                      F.expr(f"({budget} * weight) div w_total").alias("base"),
-                      F.expr(f"({budget} * weight) % w_total").alias("rem")))
-    leftover = scaled.agg(
-        (F.lit(budget) - F.sum("base")).cast("long").alias("leftover"))
-    w = Window.orderBy(F.desc("rem"), F.asc("host"))
-    return (scaled.crossJoin(F.broadcast(leftover))
+                      F.expr(f"({budget} * weight) div _wt").alias("base"),
+                      F.expr(f"({budget} * weight) % _wt").alias("rem")))
+    return (scaled
+            .withColumn("_left", F.lit(budget) - F.sum("base").over(glob))
             .select("host", "weight",
                     (F.col("base")
-                     + F.when(F.row_number().over(w) <= F.col("leftover"), 1)
+                     + F.when(F.row_number().over(rank_w) <= F.col("_left"), 1)
                      .otherwise(0)).cast("long").alias("quota")))

@@ -170,8 +170,9 @@ def main() -> None:
         "sitemap_coverage (one full-outer url join + host rollup — "
         "pure JVM)":
             qs["sitemap_coverage"](spark, SF_DIR),
-        "crawl_budget_allocate (host rollup; W and leftover as one-row "
-        "broadcasts; remainder window on the rollup only)":
+        "crawl_budget_allocate (ONE pass over the host rollup: W, "
+        "leftover, and remainder rank are global windows — the crossJoin "
+        "form re-executed the upstream 4x)":
             qs["crawl_budget_allocate"](spark, SF_DIR),
         "charset_census (encode-round-trip UTF-8 validity — map-only "
         "flags + one map-combined agg, zero Python)":
