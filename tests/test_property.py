@@ -82,3 +82,34 @@ def test_parse_document_total_on_arbitrary_bytes(data):
     assert isinstance(parsed.parse_ok, bool)
     if not parsed.parse_ok:
         assert parsed.parse_err
+
+
+# --- WARC container grammar (round 4) ----------------------------------------
+
+_warc_url = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126,
+                           exclude_characters="\r\n"),
+    min_size=1, max_size=60)
+# arbitrary payload bytes — explicitly including CRLFs and the WARC magic,
+# which the Content-Length framing must tunnel through unharmed
+_warc_payload = st.one_of(
+    st.binary(max_size=200),
+    st.just(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"),
+    st.binary(max_size=40).map(lambda b: b + b"\r\n\r\n" + b))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(_warc_url, _warc_payload), max_size=8))
+def test_warc_render_parse_round_trip(recs):
+    """parse(render(records)) == records for ARBITRARY payload bytes —
+    the framing is length-delimited, so no payload content (CRLFs, the
+    version magic, partial headers) can desync the walk or corrupt a
+    neighbor record."""
+    date = "2024-05-06T07:08:09Z"
+    data = spec.render_warc_file([(u, date, p) for u, p in recs])
+    parsed, err = spec.parse_warc_file(data)
+    assert err is None
+    assert [(r.url, r.payload) for r in parsed] == [(u, p) for u, p in recs]
+    # offsets are strictly increasing and in-bounds
+    offs = [r.offset for r in parsed]
+    assert offs == sorted(set(offs)) and all(0 <= o < len(data) for o in offs)
