@@ -157,8 +157,18 @@ def fuzzy_jaccard_join(left: DataFrame, right: DataFrame,
     of exploded tokens onto the rank table (vocab never broadcast — it
     won't fit at web scale), per-doc array rebuild, prefix explode,
     candidate equi-join + distinct, verify via array_intersect on the
-    full sorted-token arrays. jacc = inter/(|x|+|y|-inter) — one IEEE
+    full token arrays. jacc = inter/(|x|+|y|-inter) — one IEEE
     division of identical integers, bit-reproducible, no rounding.
+
+    Subplan sharing is explicit: the rebuilt-array table feeds BOTH
+    prefix sides, and Spark re-executes a referenced subtree per branch
+    (column pruning makes the exchange subtrees non-identical, so
+    ReuseExchange never fires) — an earlier formulation re-ran the whole
+    docfreq pipeline four times (19 exchanges). The rank table is
+    localCheckpointed (the dedup_components/redirect lineage pattern),
+    and the verify arrays re-attach from the RAW inputs (scan-only
+    subtree — recompute is free, and array_intersect/sizes don't care
+    about token order), so the expensive pipeline runs once.
 
     Inputs carry DISTINCT token arrays (dedupe upstream); ids must be
     unique per side.
@@ -175,7 +185,8 @@ def fuzzy_jaccard_join(left: DataFrame, right: DataFrame,
     ranked = (tok.join(rank, "_tok")
               .groupBy("_id", "_side")
               .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok")))
-                   .alias("_ord")))
+                   .alias("_ord"))
+              .localCheckpoint(eager=False))
     n = F.size("_ord")
     # epsilon guards the lossless bound: when threshold*n is an exact
     # integer in real arithmetic, FP rounding can land just ABOVE it and
@@ -196,7 +207,7 @@ def fuzzy_jaccard_join(left: DataFrame, right: DataFrame,
                   .select(F.col("_id").alias("_rid"), "_ptok"), "_ptok")
             .select("_lid", "_rid")
             .dropDuplicates(["_lid", "_rid"]))
-    toks_of = ranked.select("_id", "_side", F.col("_ord._tok").alias("_t"))
+    toks_of = both.select("_id", "_side", F.col("_toks").alias("_t"))
     cand = (cand
             .join(toks_of.filter(F.col("_side") == 0)
                   .select(F.col("_id").alias("_lid"), F.col("_t").alias("_ltoks")),
