@@ -221,3 +221,49 @@ def fuzzy_jaccard_join(left: DataFrame, right: DataFrame,
     return (cand.select(F.col("_lid").alias(id_l), F.col("_rid").alias(id_r),
                         jacc.alias("jacc"))
             .filter(F.col("jacc") >= threshold))
+
+
+def bloom_routed_anti_join(probe: DataFrame, build: DataFrame, key: str,
+                           num_bits: int = 1_048_576) -> DataFrame:
+    """Anti join (probe rows whose key is NOT in build) with bloom
+    ROUTING — the crawl-frontier seen-set shape: at 10^12 discovered
+    urls, "drop everything we've already crawled" is an anti join whose
+    probe side is overwhelmingly NOT-seen, and those rows shouldn't pay
+    a shuffle at all.
+
+    A bloom prefilter CANNOT be applied to an anti join the way
+    bloom_prefiltered_join applies it to inner/semi (a false positive
+    would silently DROP an unseen url — wrong answers). Routing keeps it
+    exact: rows that MISS the bloom are definitely absent from build and
+    bypass the join entirely (map-only path); only the bloom HITS (truly
+    seen + false positives) go through the real left_anti join, which
+    removes the false positives. union == plain anti join EXACTLY, and
+    the shuffled fraction is |seen| + fp_rate x |unseen| instead of
+    |probe|.
+
+    The output column set is probe's; row identity (not just key
+    membership) is preserved on both paths."""
+    h1 = F.pmod(F.xxhash64(F.col(key)), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(F.col(key), F.lit(_BLOOM_SEED)), F.lit(num_bits))
+    bloom = (build
+             .select(F.explode(F.array(h1, h2)).alias("_pos"))
+             .select(F.expr("_pos div 64").cast("int").alias("_w"),
+                     F.expr("shiftleft(1L, cast(pmod(_pos, 64) as int))")
+                     .alias("_bv"))
+             .groupBy("_w").agg(F.bit_or("_bv").alias("_mask"))
+             .agg(F.map_from_arrays(F.collect_list("_w"),
+                                    F.collect_list("_mask")).alias("_bf")))
+    hit1 = (F.element_at("_bf", F.expr("_p1 div 64").cast("int"))
+            .bitwiseAND(F.expr("shiftleft(1L, cast(pmod(_p1, 64) as int))"))
+            != 0)
+    hit2 = (F.element_at("_bf", F.expr("_p2 div 64").cast("int"))
+            .bitwiseAND(F.expr("shiftleft(1L, cast(pmod(_p2, 64) as int))"))
+            != 0)
+    flagged = (probe.join(F.broadcast(bloom))
+               .withColumn("_p1", h1).withColumn("_p2", h2)
+               .withColumn("_maybe", F.coalesce(hit1 & hit2, F.lit(False)))
+               .drop("_bf", "_p1", "_p2"))
+    definite_miss = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = (flagged.filter(F.col("_maybe")).drop("_maybe")
+             .join(build.select(key), key, "left_anti"))
+    return definite_miss.unionByName(maybe)

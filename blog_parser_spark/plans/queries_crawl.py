@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import enrich, links, parse, recrawl, robots, urlnorm
+from ..operators import enrich, joins, links, parse, recrawl, robots, urlnorm
 from ..sources import io, warc
 from .registry import register
 
@@ -488,3 +488,24 @@ def q_crawl_cycle_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("position") <= F.col("quota"))
             .select("host", "url", F.col("position").cast("long")
                     .alias("position")))
+
+
+# ---------------------------------------------------------------------------
+# frontier_unseen_filter — the crawl-frontier seen-set anti join with
+# bloom ROUTING (joins.bloom_routed_anti_join): bloom misses bypass the
+# shuffle entirely; only maybe-seen rows verify via the exact anti join.
+# Result == plain anti join exactly; the oracle is the closed-form
+# complement (doc_id % 4 == 3 urls were never crawled).
+# ---------------------------------------------------------------------------
+
+@register("frontier_unseen_filter", f"""
+SELECT {_URL_SQL} AS url
+FROM documents WHERE doc_id % 4 = 3
+""")
+def q_frontier_unseen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(F.lit("https://"), "source", F.lit(".example.com/post/"),
+                   F.col("doc_id").cast("string"))
+    discovered = docs.select(url.alias("url"))
+    seen = docs.filter(F.col("doc_id") % 4 != 3).select(url.alias("url"))
+    return joins.bloom_routed_anti_join(discovered, seen, "url")

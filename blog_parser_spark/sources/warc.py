@@ -86,6 +86,12 @@ def _pack_records(prefix: str, rec_type: str):
             out = []
             for fid, url, ts, payload in zip(
                     pdf["_fid"], pdf["url"], pdf["_ts"], pdf["_payload"]):
+                if payload is None:
+                    # loud contract: export parse_ok rows only — a NULL
+                    # payload silently becoming b"" would fabricate an
+                    # empty record for a failed parse
+                    raise ValueError(f"NULL payload for {url!r}; filter "
+                                     "failed/NULL rows before packing")
                 if fid != cur_fid:
                     if cur_fid is not None:
                         out.append(emit())

@@ -278,3 +278,30 @@ def test_ip_cidr_enrich_hand_cases(spark):
     lng = facts.select(enrich.ip_to_long("ip").alias("v")).collect()
     assert [r["v"] for r in lng] == [167772161, 167772671, None, None,
                                      167772935]
+
+
+def test_bloom_routed_anti_join_exact(spark):
+    """Routing == plain anti join EXACTLY, including the cases that break
+    a naive bloom-anti: saturated bloom (everything 'maybe'), empty build
+    (everything 'definite miss'), NULL probe keys, duplicate probe rows
+    (row identity preserved, not just key membership)."""
+    from pyspark.sql import Row
+    from blog_parser_spark.operators import joins
+
+    probe = spark.createDataFrame(
+        [Row(url=f"u{i}", v=i) for i in range(200)]
+        + [Row(url="u7", v=999), Row(url=None, v=-1)])  # dup row + null key
+    build = spark.createDataFrame(
+        [Row(url=f"u{i}") for i in range(0, 200, 3)])
+
+    def rows(df):
+        return sorted((r.url or "", r.v) for r in df.collect())
+
+    expected = rows(probe.join(build, "url", "left_anti"))
+    for bits in (64, 1 << 20):   # 64 = fully saturated bloom, all maybe
+        got = rows(joins.bloom_routed_anti_join(probe, build, "url",
+                                                num_bits=bits))
+        assert got == expected, f"num_bits={bits}"
+
+    empty = spark.createDataFrame([], "url string")
+    assert rows(joins.bloom_routed_anti_join(probe, empty, "url")) == rows(probe)

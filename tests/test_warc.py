@@ -225,3 +225,14 @@ def test_charset_flags_hand_cases(spark):
         df.withColumnRenamed("name", "lang"), group_col="lang")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pack_rejects_null_payload_loudly(spark):
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    bad = spark.createDataFrame(
+        [("https://a.example.com/post/1", datetime(2024, 1, 1), None)],
+        "url string, warc_ts timestamp, extracted_text string")
+    with pytest.raises(PythonException, match="NULL payload"):
+        warc.pack_wet_files(bad).collect()
