@@ -100,7 +100,10 @@ def main() -> None:
         "url_canonicalize (map-only narrow plan — no shuffle)":
             qs["url_canonicalize"](spark, SF_DIR),
         "join_fuzzy_jaccard (prefix-token candidates carry ids only; "
-        "token arrays re-attach per deduped pair)":
+        "verify arrays re-attach from the raw inputs; the docfreq "
+        "pipeline is localCheckpointed so it runs ONCE — it executes as "
+        "its own job and is therefore NOT visible in this dump, which "
+        "shows only the post-checkpoint plan)":
             qs["join_fuzzy_jaccard"](spark, SF_DIR),
         "join_point_in_time (SCD2 interval lookup — equi join on key, "
         "interval as SMJ residual, no time-axis blowup)":
