@@ -160,8 +160,11 @@ def read_warc(files: DataFrame, rec_type: str = "response") -> DataFrame:
             rows = []
             for name, content in zip(pdf["warc_file"], pdf["content"]):
                 recs, err = spec.parse_warc_file(bytes(content), rec_type=rec_type)
+                # digest_err rides on the record row itself (url/payload
+                # present): framing is sound, the payload is suspect —
+                # the caller decides whether to quarantine or refetch
                 rows.extend((r.url, _parse_warc_date(r.warc_date), r.payload,
-                             name, r.offset, None) for r in recs)
+                             name, r.offset, r.digest_err) for r in recs)
                 if err is not None:
                     rows.append((None, None, None, name, None, err))
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORD_SCHEMA])

@@ -236,3 +236,24 @@ def test_pack_rejects_null_payload_loudly(spark):
         "url string, warc_ts timestamp, extracted_text string")
     with pytest.raises(PythonException, match="NULL payload"):
         warc.pack_wet_files(bad).collect()
+
+
+def test_payload_digest_catches_in_record_corruption():
+    """Content-Length framing can't see a bit flip inside a well-framed
+    payload — the per-record WARC-Payload-Digest can."""
+    good = spec.render_warc_record("response", "u1", _D, b"hello world")
+    recs, err = spec.parse_warc_file(good)
+    assert err is None and recs[0].digest_err is None
+
+    # flip one payload byte without touching the framing
+    idx = good.index(b"hello world")
+    corrupt = good[:idx] + b"hellO" + good[idx + 5:]
+    recs, err = spec.parse_warc_file(corrupt)
+    assert err is None                      # framing still sound
+    assert "digest mismatch" in recs[0].digest_err
+
+    # absent digest (older writer) = accepted, not flagged
+    nodigest = spec.render_warc_record("response", "u1", _D, b"x",
+                                       with_digest=False)
+    recs, err = spec.parse_warc_file(nodigest)
+    assert err is None and recs[0].digest_err is None
