@@ -509,3 +509,49 @@ def q_frontier_unseen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovered = docs.select(url.alias("url"))
     seen = docs.filter(F.col("doc_id") % 4 != 3).select(url.alias("url"))
     return joins.bloom_routed_anti_join(discovered, seen, "url")
+
+
+# ---------------------------------------------------------------------------
+# export_wat_links — the WAT leg completes the WARC/WAT/WET triple: the
+# outlink scan (spec grammar UDF) renders into JSON metadata payloads
+# (JVM to_json), packs into WAT archives, re-ingests the raw bytes, and
+# re-derives the domain link graph from the PARSED JSON. The oracle is
+# the same closed form as parse_links_domains — so a green row proves
+# html -> links -> JSON -> WARC bytes -> JSON -> graph is lossless.
+# ---------------------------------------------------------------------------
+
+@register("export_wat_links", """
+WITH t AS (
+  SELECT source, unnest([
+    (doc_id * 31 + 7)  % 100000,
+    (doc_id * 57 + 13) % 100000,
+    (doc_id * 91 + 23) % 100000]) AS tgt
+  FROM documents
+)
+SELECT source || '.example.com' AS src_domain,
+       'site' || CAST(tgt % 17 AS VARCHAR) || '.example.com' AS dst_domain,
+       CAST(count(*) AS BIGINT) AS links
+FROM t
+GROUP BY src_domain, dst_domain
+""")
+def q_export_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    pages = io.synth_pages(spark, sf_dir, with_links=True)
+    meta = pages.select(
+        "url", "warc_ts",
+        links.extract_links_udf("html").alias("links"))
+    wat = warc.pack_wat_files(
+        meta, F.to_json(F.struct("url", "links")), docs_per_file=25)
+    parsed = (warc.read_warc(wat, rec_type="metadata")
+              .select("url", F.from_json(
+                  F.col("html").cast("string"),
+                  StructType([StructField("url", StringType()),
+                              StructField("links", ArrayType(StringType()))]))
+                  .alias("m")))
+    edges = parsed.select(
+        links.domain_col(F.col("url")).alias("src_domain"),
+        F.explode("m.links").alias("href"))
+    return (edges.groupBy("src_domain",
+                          links.domain_col(F.col("href")).alias("dst_domain"))
+            .agg(F.count(F.lit(1)).alias("links")))

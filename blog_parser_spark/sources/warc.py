@@ -170,3 +170,15 @@ def read_warc(files: DataFrame, rec_type: str = "response") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in WARC_RECORD_SCHEMA])
 
     return files.mapInPandas(parse, WARC_RECORD_SCHEMA)
+
+
+def pack_wat_files(meta: DataFrame, payload: Column,
+                   docs_per_file: int = 25) -> DataFrame:
+    """(url, warc_ts, <payload expr>) -> WAT files: the metadata sibling
+    of the page archive (WARC metadata records whose payload is a JSON
+    document — here built JVM-side with to_json, so the packer's Python
+    stage only assembles bytes it never constructs). The payload
+    expression may be string-typed (to_json output) — encoded to UTF-8
+    here. Same closed-form layout as the WARC/WET packers."""
+    return _pack(meta, docs_per_file,
+                 F.encode(payload.cast("string"), "UTF-8"), "wat", "metadata")
