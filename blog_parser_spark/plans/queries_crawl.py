@@ -555,3 +555,18 @@ def q_export_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (edges.groupBy("src_domain",
                           links.domain_col(F.col("href")).alias("dst_domain"))
             .agg(F.count(F.lit(1)).alias("links")))
+
+
+# ---------------------------------------------------------------------------
+# text_compression_ratio — Gopher-style quality signal. zlib is not
+# SQL-expressible, so this registers WITHOUT an oracle (rows-only driver
+# check, like the approx sketches); exactness is pinned instead by a
+# pytest that compares every row against direct python zlib and by the
+# structural property tests (boilerplate compresses below prose).
+# ---------------------------------------------------------------------------
+
+@register("text_compression_ratio")
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats
+    docs = io.read_table(spark, sf_dir, "documents")
+    return textstats.compression_signal(docs)

@@ -37,7 +37,7 @@ def register(name: str, sql: str | None = None):
 # all already green under the identical local gate
 # (tools/check_queries.py). Rotated-out queries remain covered by that
 # local gate plus their recorded driver history; no-oracle rows
-# (agg_approx_*, agg_hll_union) sort after as ever.
+# (agg_approx_*, agg_hll_union, text_compression_ratio) sort after as ever.
 #
 # Round-5 rotation queue — 71 oracle-bearing queries still have no
 # driver row after r4 (60 as of the first r4 session + the 11 crawl ops

@@ -108,3 +108,32 @@ def test_dedup_canonical_plan_is_pure_jvm(spark, tmp_path):
     assert out.count() > 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_compression_signal_exact_and_structural(spark):
+    """Spark output == direct python zlib for every fixture doc (the
+    no-SQL-oracle op's exactness gate), plus the structural property the
+    signal exists for: repetitive boilerplate compresses far below
+    natural prose."""
+    import zlib
+
+    from blog_parser_spark.operators import textstats
+    from blog_parser_spark.sources import io
+    from tests.conftest import SF_DIR
+
+    docs = io.read_table(spark, SF_DIR, "documents")
+    got = {r.doc_id: (r.raw_bytes, r.compressed_bytes)
+           for r in textstats.compression_signal(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        raw = row.text.encode("utf-8")
+        assert got[row.doc_id] == (
+            len(raw), len(zlib.compress(raw, textstats.ZLIB_LEVEL)))
+
+    from pyspark.sql import Row
+    pair = spark.createDataFrame([
+        Row(doc_id=1, text="click here click here click here " * 60),
+        Row(doc_id=2, text=" ".join(f"w{i * 7919 % 5077}" for i in range(360))),
+    ])
+    r = {x.doc_id: x.compressed_bytes / x.raw_bytes
+         for x in textstats.compression_signal(pair).collect()}
+    assert r[1] < 0.1 < r[2]  # boilerplate << varied text
