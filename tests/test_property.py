@@ -113,3 +113,40 @@ def test_warc_render_parse_round_trip(recs):
     # offsets are strictly increasing and in-bounds
     offs = [r.offset for r in parsed]
     assert offs == sorted(set(offs)) and all(0 <= o < len(data) for o in offs)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_warc_parse_never_crashes_on_corruption(data):
+    """Arbitrary single-site corruption of a valid archive (byte flip,
+    truncation, insertion) must never raise, always terminate, and —
+    when it reports an error — report a position no later than the
+    corruption site's record."""
+    date = "2024-05-06T07:08:09Z"
+    recs = [(f"u{i}", date, bytes([65 + i]) * (i + 1)) for i in range(4)]
+    base = spec.render_warc_file(recs)
+    mode = data.draw(st.sampled_from(["flip", "truncate", "insert"]))
+    pos = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
+    if mode == "flip":
+        b = data.draw(st.integers(min_value=0, max_value=255))
+        corrupted = base[:pos] + bytes([b]) + base[pos + 1:]
+    elif mode == "truncate":
+        corrupted = base[:pos]
+    else:
+        chunk = data.draw(st.binary(min_size=1, max_size=8))
+        corrupted = base[:pos] + chunk + base[pos:]
+
+    parsed, err = spec.parse_warc_file(corrupted)   # must not raise
+    # every record returned is framed from within the data
+    for r in parsed:
+        assert 0 <= r.offset < len(corrupted)
+    # a clean parse of a FLIPPED archive may legitimately succeed (the
+    # flip landed in a payload/header value) — but then any payload
+    # damage must be caught by the per-record digest
+    if mode == "flip" and err is None and corrupted != base:
+        texts_ok = [r.payload for r in parsed] == [p for _, _, p in recs]
+        digests_flag = any(r.digest_err for r in parsed)
+        headers_changed = len(parsed) != len(recs) or any(
+            r.url != u or r.warc_date != d
+            for r, (u, d, _) in zip(parsed, recs))
+        assert texts_ok or digests_flag or headers_changed
