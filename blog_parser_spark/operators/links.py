@@ -130,3 +130,20 @@ def anchor_text_census(pages: DataFrame) -> DataFrame:
                     F.explode(F.split("anchor", " ")).alias("term"))
             .groupBy("dst_domain", "term")
             .agg(F.count(F.lit(1)).alias("mentions")))
+
+
+def hreflang_alternates(pages: DataFrame) -> DataFrame:
+    """pages(url, html) -> (url, hreflang, alt_url): the declared
+    translation set per page — the seed signal for mining aligned
+    multilingual training pairs. Pure JVM: two regexp_extract_all passes
+    over the SAME pinned grammar (spec.ALTERNATE_RE_STR) zipped
+    positionally, so lang/href stay paired by construction; no Python
+    stage, map-only until whatever rollup the consumer adds."""
+    doc = F.col("html").cast("string")
+    langs = F.regexp_extract_all(doc, F.lit(spec.ALTERNATE_RE_STR), F.lit(1))
+    hrefs = F.regexp_extract_all(doc, F.lit(spec.ALTERNATE_RE_STR), F.lit(2))
+    pair = F.zip_with(langs, hrefs,
+                      lambda l, h: F.struct(l.alias("hreflang"),
+                                            h.alias("alt_url")))
+    return (pages.select("url", F.explode(pair).alias("a"))
+            .select("url", "a.hreflang", "a.alt_url"))

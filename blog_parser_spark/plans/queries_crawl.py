@@ -570,3 +570,22 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textstats
     docs = io.read_table(spark, sf_dir, "documents")
     return textstats.compression_signal(docs)
+
+
+# ---------------------------------------------------------------------------
+# parse_hreflang_alternates — translation-pair mining seed: extract each
+# page's declared <link rel="alternate" hreflang> set from the raw html
+# with two zipped JVM regexp_extract_all passes (no Python stage). The
+# fixture declares a closed-form alternate set per doc, so the oracle
+# re-derives every (url, hreflang, alt_url) row from doc_id.
+# ---------------------------------------------------------------------------
+
+@register("parse_hreflang_alternates", f"""
+SELECT {_URL_SQL} AS url, L.lang AS hreflang,
+       'https://alt-' || L.lang || '.example.com/post/'
+         || CAST(doc_id AS VARCHAR) AS alt_url
+FROM documents, (SELECT unnest(['de','en','fr']) AS lang) AS L
+""")
+def q_parse_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir, with_alternates=True)
+    return links.hreflang_alternates(pages)

@@ -74,7 +74,8 @@ def _render_html_udf():
 
 
 def _render_html_linked_udf(rich_anchors: bool = False,
-                            with_canonical: bool = False):
+                            with_canonical: bool = False,
+                            with_alternates: bool = False):
     """Renderer variant that also emits the deterministic <nav> outlink
     block (spec.link_targets) — byte-identical to _render_html_udf
     everywhere outside the nav block. rich_anchors swaps the constant
@@ -87,7 +88,8 @@ def _render_html_linked_udf(rich_anchors: bool = False,
         return pd.Series(
             [None if t is None
              else spec.render_html(t, doc_id=int(d), rich_anchors=rich_anchors,
-                                   with_canonical=with_canonical)
+                                   with_canonical=with_canonical,
+                                   with_alternates=with_alternates)
              for t, d in zip(text, doc_id)])
 
     return render
@@ -95,7 +97,8 @@ def _render_html_linked_udf(rich_anchors: bool = False,
 
 def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1,
                 with_links: bool = False, rich_anchors: bool = False,
-                with_canonical: bool = False) -> DataFrame:
+                with_canonical: bool = False,
+                with_alternates: bool = False) -> DataFrame:
     """documents -> pages(url, warc_ts, html, text, lang), deterministic.
 
     replicate=k deterministically tiles the corpus k-fold (distinct urls via
@@ -107,8 +110,9 @@ def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1,
         reps = spark.range(replicate).select(F.col("id").alias("rep"))
         docs = docs.crossJoin(reps).withColumn(
             "doc_id", F.col("doc_id") + F.col("rep") * 10_000_000).drop("rep")
-    rendered = (_render_html_linked_udf(rich_anchors, with_canonical)("text", "doc_id")
-                if with_links or rich_anchors or with_canonical
+    rendered = (_render_html_linked_udf(rich_anchors, with_canonical,
+                                        with_alternates)("text", "doc_id")
+                if with_links or rich_anchors or with_canonical or with_alternates
                 else _render_html_udf()("text"))
     return docs.select(
         F.concat(F.lit("https://"), "source", F.lit(".example.com/post/"),

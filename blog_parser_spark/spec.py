@@ -206,6 +206,32 @@ def extract_canonical(html: bytes | None) -> str | None:
     return m.group(1) if m else None
 
 
+# hreflang-alternate grammar (additive): the <link rel="alternate"
+# hreflang=...> head tags that declare a page's translations — the seed
+# signal for mining aligned multilingual training pairs. Raw pattern
+# shared verbatim with the Spark side (regexp_extract_all, pure JVM).
+ALTERNATE_RE_STR = r'<link rel="alternate" hreflang="([a-z-]+)" href="([^"]*)">'
+ALTERNATE_RE = re.compile(ALTERNATE_RE_STR)
+
+ALT_LANGS = ("de", "en", "fr")  # fixture: every page declares these three
+
+
+def alternate_url(lang: str, doc_id: int) -> str:
+    return f"https://alt-{lang}.example.com/post/{doc_id}"
+
+
+def extract_alternates(html: bytes | None) -> list[tuple[str, str]]:
+    """(hreflang, href) per alternate tag, document order; NULL/decode
+    failures yield [] (extract_links contract)."""
+    if html is None:
+        return []
+    try:
+        doc = html.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return []
+    return ALTERNATE_RE.findall(doc)
+
+
 # Anchor grammar (additive): href AND inner text. Inner text runs through
 # normalize_fragment (tags stripped, entities decoded, whitespace collapsed)
 # — anchor text in the wild routinely wraps <b>/<span>.
@@ -377,7 +403,8 @@ def parse_warc_file(data: bytes,
 
 def render_html(text: str, doc_id: int | None = None,
                 rich_anchors: bool = False,
-                with_canonical: bool = False) -> bytes:
+                with_canonical: bool = False,
+                with_alternates: bool = False) -> bytes:
     """Deterministic inverse fixture generator (FIXTURES.md §B `pages.html`).
 
     Splits `text` into title (first 8 words), two <h2> headings (4 words
@@ -405,6 +432,11 @@ def render_html(text: str, doc_id: int | None = None,
     head = f"<title>{escape_html(title)}</title>"
     if canon is not None:
         head += f'<link rel="canonical" href="{canon}">'
+    if with_alternates and doc_id is not None:
+        head += "".join(
+            f'<link rel="alternate" hreflang="{lang}" '
+            f'href="{alternate_url(lang, doc_id)}">'
+            for lang in ALT_LANGS)
     buf = [f"<html><head>{head}</head><body>"]
     buf.append(f"<h1>{escape_html(title)}</h1>")
     buf.extend(f"<h2>{escape_html(h)}</h2>" for h in h2s if h)

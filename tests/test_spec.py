@@ -170,3 +170,17 @@ def test_canonical_grammar():
     assert spec.extract_canonical(None) is None
     assert spec.extract_canonical(b"<html></html>") is None
     assert spec.extract_canonical(b"\xff\xfe") is None
+
+
+def test_hreflang_alternates_grammar():
+    for d in _documents()[:20]:
+        html = spec.render_html(d["text"], doc_id=d["doc_id"],
+                                with_alternates=True)
+        assert spec.parse_document(html).extracted_text == d["text"]
+        assert spec.extract_alternates(html) == [
+            (lang, spec.alternate_url(lang, d["doc_id"]))
+            for lang in spec.ALT_LANGS]
+        plain = spec.render_html(d["text"], doc_id=d["doc_id"])
+        assert spec.extract_alternates(plain) == []
+    assert spec.extract_alternates(None) == []
+    assert spec.extract_alternates(b"\xff\xfe") == []
