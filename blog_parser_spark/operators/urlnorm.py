@@ -96,12 +96,17 @@ def canonical_groups(pages: DataFrame) -> DataFrame:
     map-combined hash aggregation; html never reaches the shuffle."""
     keyed = pages.select(
         canonical_key(F.col("html"), F.col("url")).alias("canonical_key"),
-        "url",
         # engine-portable composite order key: zero-padded epoch seconds
         # then url — lexicographic compare == (warc_ts, url) compare, and
         # DuckDB's arg_max can rank it (no struct-key arg_max there)
         F.concat(F.lpad(F.col("warc_ts").cast("long").cast("string"), 20, "0"),
                  F.lit("|"), F.col("url")).alias("_ord"))
+    # max(_ord) then strip the fixed 21-char prefix, NOT max_by(url, _ord).
+    # Either way Spark plans SortAggregate (string agg buffers are not
+    # mutable, so HashAggregate is off the table for ANY string argmax);
+    # the single-column max halves the buffer vs max_by's (url, key) pair
+    # and the key's suffix IS the url, so the winner is identical. Still
+    # partial-combined map-side: duplicates collapse before the shuffle.
     return keyed.groupBy("canonical_key").agg(
         F.count(F.lit(1)).alias("n_pages"),
-        F.max_by("url", F.col("_ord")).alias("rep_url"))
+        F.substring(F.max("_ord"), 22, 2_147_483_647).alias("rep_url"))
