@@ -95,7 +95,10 @@ def main() -> None:
             qs["tpch_q19_disjunctive"](spark, SF_DIR),
         "graph_triangle_count (two hash joins on vertex keys)":
             qs["graph_triangle_count"](spark, SF_DIR),
-        "agg_ohlc_resample (single hash agg, min_by/max_by struct keys)":
+        "agg_ohlc_resample (ONE aggregate; struct-keyed min_by/max_by "
+        "buffers are immutable so Spark plans SortAggregate — the "
+        "structural floor for any argmax on non-fixed-width types; "
+        "still map-side partial-combined)":
             qs["agg_ohlc_resample"](spark, SF_DIR),
         "url_canonicalize (map-only narrow plan — no shuffle)":
             qs["url_canonicalize"](spark, SF_DIR),
