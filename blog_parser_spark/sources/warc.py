@@ -86,6 +86,12 @@ def _pack_records(prefix: str, rec_type: str):
             out = []
             for fid, url, ts, payload in zip(
                     pdf["_fid"], pdf["url"], pdf["_ts"], pdf["_payload"]):
+                if pd.isna(fid):
+                    # url didn't match the /post/<id> layout, so it has
+                    # no archive assignment — fail with the url, not an
+                    # int(NaN) traceback three frames deep
+                    raise ValueError(f"url {url!r} does not match the "
+                                     "packer's doc-id layout (_DOC_ID_RE)")
                 if payload is None:
                     # loud contract: export parse_ok rows only — a NULL
                     # payload silently becoming b"" would fabricate an
@@ -109,7 +115,10 @@ def _pack(pages: DataFrame, docs_per_file: int, payload: Column,
           prefix: str, rec_type: str) -> DataFrame:
     keyed = pages.select(
         "url", F.col("warc_ts").alias("_ts"), payload.alias("_payload"),
-        F.regexp_extract("url", _DOC_ID_RE, 1).cast("long").alias("_doc_id")
+        # try_cast, not cast: a layout-violating url should surface as
+        # the assembler's url-naming ValueError, not an anonymous ANSI
+        # CAST_INVALID_INPUT from codegen
+        F.regexp_extract("url", _DOC_ID_RE, 1).try_cast("long").alias("_doc_id")
     ).withColumn("_fid", (F.col("_doc_id") / docs_per_file).cast("long"))
     part = (keyed.repartition(F.col("_fid"))
             .sortWithinPartitions("_fid", "_doc_id"))

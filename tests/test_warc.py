@@ -257,3 +257,15 @@ def test_payload_digest_catches_in_record_corruption():
                                        with_digest=False)
     recs, err = spec.parse_warc_file(nodigest)
     assert err is None and recs[0].digest_err is None
+
+
+def test_pack_rejects_unparseable_url_loudly(spark):
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    bad = spark.createDataFrame(
+        [("https://a.example.com/page?id=1", datetime(2024, 1, 1),
+          bytearray(b"<html></html>"))],
+        "url string, warc_ts timestamp, html binary")
+    with pytest.raises(PythonException, match="doc-id layout"):
+        warc.pack_warc_files(bad).collect()
