@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import enrich, joins, links, parse, recrawl, robots, urlnorm
 from ..sources import io, warc
+from . import queries
 from .registry import register
 
 _URL_SQL = "'https://' || source || '.example.com/post/' || CAST(doc_id AS VARCHAR)"
@@ -589,3 +590,24 @@ FROM documents, (SELECT unnest(['de','en','fr']) AS lang) AS L
 def q_parse_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = io.synth_pages(spark, sf_dir, with_alternates=True)
     return links.hreflang_alternates(pages)
+
+
+# ---------------------------------------------------------------------------
+# flagship_from_warc — the TRUE production shape end-to-end: raw WARC
+# archive bytes -> binary-safe record parse -> CC-index-style metadata
+# sidecar join (lang/text ride a url-keyed join, exactly how a real
+# pipeline attaches index metadata to archive payloads) -> the flagship
+# parse -> dedup -> enrich -> route -> aggregate. The oracle is the
+# flagship's own FLAGSHIP_AGG_SQL, verbatim — a green row proves the
+# archive path is a drop-in substitute for the parquet scan.
+# ---------------------------------------------------------------------------
+
+@register("flagship_from_warc", queries.FLAGSHIP_AGG_SQL)
+def q_flagship_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir)
+    records = (warc.read_warc(warc.pack_warc_files(pages, docs_per_file=25))
+               .select("url", "warc_ts", "html"))
+    sidecar = pages.select("url", "text", "lang")
+    from . import pipeline
+    return queries._flagship_cols(
+        pipeline.flagship(spark, records.join(sidecar, "url"), dedup=True))

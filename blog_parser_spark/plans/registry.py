@@ -39,17 +39,17 @@ def register(name: str, sql: str | None = None):
 # local gate plus their recorded driver history; no-oracle rows
 # (agg_approx_*, agg_hll_union, text_compression_ratio) sort after as ever.
 #
-# Round-5 rotation queue — 72 oracle-bearing queries still have no
-# driver row after r4 (60 as of the first r4 session + the 12 crawl ops
+# Round-5 rotation queue — 73 oracle-bearing queries still have no
+# driver row after r4 (60 as of the first r4 session + the 13 crawl ops
 # added later in r4: scan_warc_pages, export_wet_text,
 # anchor_text_census, dedup_canonical, recrawl_schedule,
 # sitemap_coverage, crawl_budget_allocate, charset_census,
 # crawl_cycle_schedule, frontier_unseen_filter, export_wat_links,
-# parse_hreflang_alternates — all
+# parse_hreflang_alternates, flagship_from_warc — all
 # local-gate green; recompute with the snippet below). Round 5 spends
 # its 50 slots on the 50 with the most standalone operator value — the
-# 12 crawl ops belong in the window (they carry byte-level WARC/WET
-# identity evidence), so bump 12 single-function demos from this older
+# 13 crawl ops belong in the window (they carry byte-level WARC/WET
+# identity evidence), so bump 13 single-function demos from this older
 # list:
 # parse_links_domains, multimodal_features/resize/frames,
 # agg_sliding_window, win_range_frame, win_gapfill, win_sessionize,
