@@ -1,9 +1,9 @@
 """Crawl-infrastructure queries — driver-contract entries for the WARC
 archive layer (sources/warc.py) and the companion crawl ops added with it.
 
-Registered AFTER the driver window (plans/registry.py DRIVER_WINDOW is
-pinned for round 4), so these extend the local gate + round-5 rotation
-pool without touching the 50 driver slots.
+Round 5 rotated this whole layer INTO the driver window
+(plans/registry.py DRIVER_WINDOW) — byte-level archive round-trip
+evidence belongs in the driver's CORRECTNESS record.
 
 Fixture convention as everywhere: inputs are deterministic pure-function
 renderings of the documents table, and each oracle re-derives the same
@@ -25,8 +25,9 @@ _URL_SQL = "'https://' || source || '.example.com/post/' || CAST(doc_id AS VARCH
 
 # ---------------------------------------------------------------------------
 # scan_warc_pages — the full WARC loop: synthesize pages, pack them into
-# warcinfo-led WARC/1.0 archives (applyInPandas render), parse the raw
-# archive bytes back (mapInPandas, Content-Length framing), and compare
+# warcinfo-led WARC/1.0 archives (sorted-partition mapInPandas assembler,
+# see warc._pack_records), parse the raw archive bytes back (mapInPandas,
+# Content-Length framing), and compare
 # each recovered record byte-for-byte against its source page. The
 # oracle expects exactly one byte_identical=true row per document: a
 # lost record changes the row count, a corrupted payload/timestamp or a
@@ -41,6 +42,33 @@ FROM documents
 def q_scan_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = io.synth_pages(spark, sf_dir)
     records = warc.read_warc(warc.pack_warc_files(pages, docs_per_file=25))
+    src = pages.select(F.col("url").alias("src_url"),
+                       F.col("warc_ts").alias("src_ts"),
+                       F.col("html").alias("src_html"))
+    return (records
+            .join(src, records["url"] == src["src_url"], "left")
+            .select(
+                records["url"],
+                ((F.col("html") == F.col("src_html"))
+                 & (F.col("warc_ts") == F.col("src_ts"))).alias("byte_identical")))
+
+
+# ---------------------------------------------------------------------------
+# scan_warc_gz_pages — the same byte-identity loop through Common Crawl's
+# PRODUCTION layout: .warc.gz archives with one gzip member per record,
+# members concatenated. pack_warc_gz_files compresses per record inside
+# the same assembler stage; read_warc sniffs the gzip magic and gunzips
+# member-by-member in its one Arrow stage. The oracle is unchanged —
+# compression must be invisible to the recovered bytes.
+# ---------------------------------------------------------------------------
+
+@register("scan_warc_gz_pages", f"""
+SELECT {_URL_SQL} AS url, true AS byte_identical
+FROM documents
+""")
+def q_scan_warc_gz_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir)
+    records = warc.read_warc(warc.pack_warc_gz_files(pages, docs_per_file=25))
     src = pages.select(F.col("url").alias("src_url"),
                        F.col("warc_ts").alias("src_ts"),
                        F.col("html").alias("src_html"))
@@ -606,6 +634,24 @@ def q_parse_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_flagship_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = io.synth_pages(spark, sf_dir)
     records = (warc.read_warc(warc.pack_warc_files(pages, docs_per_file=25))
+               .select("url", "warc_ts", "html"))
+    sidecar = pages.select("url", "text", "lang")
+    from . import pipeline
+    return queries._flagship_cols(
+        pipeline.flagship(spark, records.join(sidecar, "url"), dedup=True))
+
+
+# ---------------------------------------------------------------------------
+# flagship_from_warc_gz — the flagship pointed at Common Crawl's REAL
+# layout: per-record-gzip .warc.gz archives. Identical oracle to the
+# flagship — decompression must be invisible to every downstream
+# aggregate, proving a user can aim this pipeline at actual CC dumps.
+# ---------------------------------------------------------------------------
+
+@register("flagship_from_warc_gz", queries.FLAGSHIP_AGG_SQL)
+def q_flagship_from_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir)
+    records = (warc.read_warc(warc.pack_warc_gz_files(pages, docs_per_file=25))
                .select("url", "warc_ts", "html"))
     sidecar = pages.select("url", "text", "lang")
     from . import pipeline

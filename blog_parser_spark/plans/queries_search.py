@@ -32,12 +32,24 @@ WITH dt AS (
   FROM (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents)
   GROUP BY doc_id, term)
 SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
-       list_sort(list(doc_id)) AS postings
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM dt GROUP BY term HAVING COUNT(*) >= 50
 """)
 def q_search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Contract boundary: the operator's postings stay array<bigint> (the
+    # streaming index and closed-form pytests consume them), but the
+    # registered query serializes them to a comma-joined string — the
+    # agg_collect convention — because the driver harness's pandas
+    # canonicalizer cannot sort rows containing list cells (the r4 red
+    # row). The sort happens on the BIGINT array (numeric order), then
+    # each id casts to string; DuckDB's list_sort/array_to_string does
+    # the same.
     docs = io.read_table(spark, sf_dir, "documents")
-    return search.inverted_index(docs, min_df=50)
+    idx = search.inverted_index(docs, min_df=50)
+    return idx.select(
+        "term", "df", "total_tf",
+        F.array_join(F.transform("postings", lambda d: d.cast("string")),
+                     ",").alias("postings"))
 
 
 @register("search_bm25_topk", f"""

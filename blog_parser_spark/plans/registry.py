@@ -39,73 +39,57 @@ def register(name: str, sql: str | None = None):
 # local gate plus their recorded driver history; no-oracle rows
 # (agg_approx_*, agg_hll_union, text_compression_ratio) sort after as ever.
 #
-# Round-5 rotation queue — 73 oracle-bearing queries still have no
-# driver row after r4 (60 as of the first r4 session + the 13 crawl ops
-# added later in r4: scan_warc_pages, export_wet_text,
-# anchor_text_census, dedup_canonical, recrawl_schedule,
-# sitemap_coverage, crawl_budget_allocate, charset_census,
-# crawl_cycle_schedule, frontier_unseen_filter, export_wat_links,
-# parse_hreflang_alternates, flagship_from_warc — all
-# local-gate green; recompute with the snippet below). Round 5 spends
-# its 50 slots on the 50 with the most standalone operator value — the
-# 13 crawl ops belong in the window (they carry byte-level WARC/WET
-# identity evidence), so bump 13 single-function demos from this older
-# list:
-# parse_links_domains, multimodal_features/resize/frames,
+# Round-5 window: the 74 oracle-bearing queries with no driver row
+# after r4, plus search_inverted_index (whose only recorded row is the
+# r4 red — serialized-postings fix must earn its green), give 75
+# candidates for 50 slots. Kept: search_inverted_index, the 13 crawl
+# ops (byte-level WARC/WET identity evidence belongs in the driver
+# record), fn_url, and the 35 weblog/OLAP/graph/text singles with the
+# most standalone operator value. Left on the local gate only (25):
+# fn_binary/variant/try/conditional/struct, udtf_word_explode,
+# sql_exists_subquery, agg_histogram, win_first_last_nth,
+# multimodal_features/resize/frames (decode codec-stubbed),
 # agg_sliding_window, win_range_frame, win_gapfill, win_sessionize,
-# agg_bitmap_distinct, agg_bitmap_rollup, udaf_grouped_agg,
-# grouped_map_cumsum, graph_degree, graph_triangle_count,
-# log_anomaly_zscore, agg_incremental_partials, cohort_retention,
-# agg_ohlc_resample, agg_embedding_centroid, parse_log_templates,
-# parse_multiline_stack, enrich_ip_cidr, parse_useragent,
-# clickpath_transitions, interval_coalesce, slo_burn_rate, bot_score,
-# schema_drift_census, snapshot_diff_audit, text_boilerplate_strip,
-# experiment_ab_lift, rolling_distinct_users, trending_event_types,
-# dq_expectations, entity_extract_census, attribution_last_touch,
-# referrer_classify, bounce_rate_entry, attribution_linear,
-# percolate_match, sketch_count_min, heavy_hitters_exact,
-# robots_politeness, k_anonymity_census, url_path_templates,
-# crawl_delay_audit, url_redirect_resolve, dedup_containment,
-# search_phrase_match, sample_exact_k — that's 49; add fn_url (the
-# most log-relevant of the fn_* demos) for 50. The 10 left on the
-# local gate only (fn_binary/variant/try/conditional/struct,
-# udtf_word_explode, sql_exists_subquery, agg_histogram,
-# win_first_last_nth + whichever of the above gets bumped by new r5
-# work) are single-function demos with the least standalone risk.
-# Recompute the remainder exactly:
-#   keys(CORRECTNESS_r01..r04) ∪ DRIVER_WINDOW vs oracle-bearing
-#   registry order.
+# grouped_map_cumsum, udaf_grouped_agg, sample_exact_k,
+# snapshot_diff_audit, entity_extract_census, trending_event_types,
+# bounce_rate_entry, attribution_linear, agg_bitmap_rollup,
+# agg_bitmap_distinct, parse_robots_audit — all
+# single-function demos whose operator families already carry driver
+# rows. Rotated-out queries remain covered by tools/check_queries.py
+# plus recorded driver history. Recompute the remainder exactly:
+#   green(CORRECTNESS_r01..r04) ∪ DRIVER_WINDOW vs oracle-bearing
+#   registry order (tests/test_registry_contract.py enforces
+#   disjointness from recorded GREEN rows).
 DRIVER_WINDOW: list[str] = [
-    # TPC-H pack (18) — q1/q3/q5/q6 were driver-green in r3
-    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
-    "tpch_q7_nation_volume", "tpch_q8_market_share",
-    "tpch_q9_profit_rollup", "tpch_q10_returned_revenue",
-    "tpch_q11_value_concentration", "tpch_q12_priority_by_flag",
-    "tpch_q13_order_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive", "tpch_q20_excess_shippers",
-    "tpch_q21_only_late_supplier", "tpch_q22_dormant_customers",
-    # retrieval layer (5)
-    "search_inverted_index", "search_bm25_topk", "search_sentences_bm25",
-    "text_tfidf_topterms", "filter_domain_blocklist",
-    # log parsing + CDC/lakehouse (3)
-    "parse_grok_logs", "cdc_apply_changes", "cdc_scd2_intervals",
-    # specialized joins (3)
-    "join_fuzzy_jaccard", "join_bloom_prefilter", "join_point_in_time",
-    # training-data export trio (3)
-    "export_shard_assign", "export_pack_sequences", "export_chunk_overlap",
-    # misc headline (4)
-    "funnel_sequence", "url_canonicalize", "dedup_simhash",
-    "ann_lsh_bucketed",
-    # text ops (10)
-    "text_tokens", "text_fingerprint", "text_segment_dedup",
-    "text_unigram_logprob", "text_repetition", "text_pii_scrub",
-    "text_heavy_hitters", "text_quality_classifier", "text_pmi_bigrams",
-    "decontam_ngram_overlap",
-    # sampling / training-data (4)
-    "sample_stratified", "sample_mixture_weighted",
-    "training_data_leakage_safe_split", "crawl_frontier_schedule",
+    # the r4 red row, fixed (postings serialized both sides)
+    "search_inverted_index",
+    # crawl/WARC layer (13) — new in r4, never driver-checked
+    "scan_warc_pages", "export_wet_text", "export_wat_links",
+    "flagship_from_warc", "anchor_text_census", "dedup_canonical",
+    "recrawl_schedule", "sitemap_coverage", "crawl_budget_allocate",
+    "charset_census", "crawl_cycle_schedule", "frontier_unseen_filter",
+    "parse_hreflang_alternates",
+    # round-5 gz archives (2) — per-record-gzip WARC round trip
+    "scan_warc_gz_pages", "flagship_from_warc_gz",
+    # link graph / web structure (3)
+    "parse_links_domains", "graph_degree", "graph_triangle_count",
+    # log parsing (4)
+    "parse_log_templates", "parse_multiline_stack", "parse_useragent",
+    "enrich_ip_cidr",
+    # weblog analytics (11)
+    "log_anomaly_zscore", "cohort_retention", "clickpath_transitions",
+    "interval_coalesce", "slo_burn_rate", "bot_score",
+    "experiment_ab_lift", "rolling_distinct_users",
+    "attribution_last_touch", "referrer_classify", "fn_url",
+    # crawl hygiene / governance (8)
+    "robots_politeness", "crawl_delay_audit", "url_redirect_resolve",
+    "url_path_templates", "k_anonymity_census", "dq_expectations",
+    "schema_drift_census", "percolate_match",
+    # aggregation / sketch extras (5)
+    "agg_incremental_partials", "agg_ohlc_resample",
+    "agg_embedding_centroid", "sketch_count_min", "heavy_hitters_exact",
+    # text / retrieval / dedup singles (3)
+    "text_boilerplate_strip", "search_phrase_match", "dedup_containment",
 ]
 
 

@@ -14,7 +14,10 @@ one source of truth for both directions):
   production ingest is `spark.read.format("binaryFile").load(".../*.warc")`
   feeding this same transform — parallelism is per-file (the natural WARC
   unit: ~1 GB each, so 100 TB = ~10^5 well-sized tasks with no shuffle at
-  all; .warc.gz members would gunzip inside the same map stage).
+  all). `.warc.gz` archives (Common Crawl's actual layout: one gzip
+  member per record, members concatenated) gunzip inside the same map
+  stage — read_warc sniffs the gzip magic per file, so plain and gz
+  archives mix freely in one load.
 
 Scale shape: both directions are ONE Arrow-batched Python stage and zero
 shuffles beyond pack's repartition on file id. Payload bytes cross Arrow
@@ -55,7 +58,16 @@ _DOC_ID_RE = r"/post/(\d+)$"
 
 
 def _fmt_warc_date(ts) -> str:
-    return pd.Timestamp(ts).strftime(spec.WARC_DATE_FMT)
+    # Pack contract: WARC_DATE_FMT is second-precision, so a sub-second
+    # timestamp cannot round-trip — rejecting it here is a loud contract
+    # (like NULL payloads), not a silent truncation that surfaces later
+    # as a byte_identical/ts-equality failure.
+    t = pd.Timestamp(ts)
+    if t.microsecond or t.nanosecond:
+        raise ValueError(f"warc_ts {ts!r} has sub-second precision; the "
+                         "WARC date format is second-precision — floor "
+                         "timestamps before packing")
+    return t.strftime(spec.WARC_DATE_FMT)
 
 
 def _parse_warc_date(s: str) -> datetime:
@@ -64,7 +76,7 @@ def _parse_warc_date(s: str) -> datetime:
     return datetime.strptime(s, spec.WARC_DATE_FMT)
 
 
-def _pack_records(prefix: str, rec_type: str):
+def _pack_records(prefix: str, rec_type: str, gz: bool = False):
     """mapInPandas assembler shared by the WARC and WET packers: rows
     arrive repartitioned by _fid and sorted (_fid, _doc_id) within each
     partition, so every archive's records are contiguous — the assembler
@@ -78,9 +90,12 @@ def _pack_records(prefix: str, rec_type: str):
         cur_fid = None
         cur: list[tuple[str, str, bytes]] = []
 
+        render = spec.render_warc_gz_file if gz else spec.render_warc_file
+        suffix = ".warc.gz" if gz else ".warc"
+
         def emit():
-            name = f"{prefix}-{int(cur_fid):06d}.warc"
-            return (name, spec.render_warc_file(cur, rec_type=rec_type))
+            name = f"{prefix}-{int(cur_fid):06d}{suffix}"
+            return (name, render(cur, rec_type=rec_type))
 
         for pdf in batches:
             out = []
@@ -112,7 +127,7 @@ def _pack_records(prefix: str, rec_type: str):
 
 
 def _pack(pages: DataFrame, docs_per_file: int, payload: Column,
-          prefix: str, rec_type: str) -> DataFrame:
+          prefix: str, rec_type: str, gz: bool = False) -> DataFrame:
     keyed = pages.select(
         "url", F.col("warc_ts").alias("_ts"), payload.alias("_payload"),
         # try_cast, not cast: a layout-violating url should surface as
@@ -122,7 +137,8 @@ def _pack(pages: DataFrame, docs_per_file: int, payload: Column,
     ).withColumn("_fid", (F.col("_doc_id") / docs_per_file).cast("long"))
     part = (keyed.repartition(F.col("_fid"))
             .sortWithinPartitions("_fid", "_doc_id"))
-    return part.mapInPandas(_pack_records(prefix, rec_type), WARC_FILE_SCHEMA)
+    return part.mapInPandas(_pack_records(prefix, rec_type, gz=gz),
+                            WARC_FILE_SCHEMA)
 
 
 def pack_warc_files(pages: DataFrame, docs_per_file: int = 25) -> DataFrame:
@@ -139,6 +155,17 @@ def pack_warc_files(pages: DataFrame, docs_per_file: int = 25) -> DataFrame:
     exercise many files.
     """
     return _pack(pages, docs_per_file, F.col("html"), "crawl", "response")
+
+
+def pack_warc_gz_files(pages: DataFrame, docs_per_file: int = 25) -> DataFrame:
+    """pages -> .warc.gz archives in Common Crawl's production layout:
+    each record its own gzip member, members concatenated (so a
+    CC-style index can seek to a member offset and gunzip one record).
+    Identical closed-form file layout and assembler as pack_warc_files;
+    the only difference is the per-record gzip_member wrap in the spec
+    renderer, so compression rides the SAME one-shuffle plan."""
+    return _pack(pages, docs_per_file, F.col("html"), "crawl", "response",
+                 gz=True)
 
 
 def pack_wet_files(extracted: DataFrame, docs_per_file: int = 25) -> DataFrame:
@@ -159,16 +186,23 @@ def read_warc(files: DataFrame, rec_type: str = "response") -> DataFrame:
     which knows the type it asked for).
 
     Each archive is parsed binary-safely via Content-Length framing
-    (spec.parse_warc_file). A framing error emits the file's good prefix
-    AND one quarantine row carrying the position-stamped reason — the
-    resume/metrics story is identical to the landing-zone readers: count
-    failures, never silently drop bytes.
+    (spec.parse_warc_file). Gzipped archives are detected per file by
+    the gzip magic (never by name) and walked member-by-member in the
+    same Arrow stage (spec.parse_warc_gz_file) — plain and .warc.gz
+    files mix freely in one ingest. A framing error emits the file's
+    good prefix AND one quarantine row carrying the position-stamped
+    reason — the resume/metrics story is identical to the landing-zone
+    readers: count failures, never silently drop bytes.
     """
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for name, content in zip(pdf["warc_file"], pdf["content"]):
-                recs, err = spec.parse_warc_file(bytes(content), rec_type=rec_type)
+                raw = bytes(content)
+                walker = (spec.parse_warc_gz_file
+                          if raw[:2] == spec.GZIP_MAGIC
+                          else spec.parse_warc_file)
+                recs, err = walker(raw, rec_type=rec_type)
                 # digest_err rides on the record row itself (url/payload
                 # present): framing is sound, the payload is suspect —
                 # the caller decides whether to quarantine or refetch

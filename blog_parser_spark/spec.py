@@ -401,6 +401,76 @@ def parse_warc_file(data: bytes,
     return out, None
 
 
+# .warc.gz framing — Common Crawl's actual on-disk layout: every record is
+# compressed as its OWN gzip member and the members are concatenated, so an
+# index can point at a member's compressed byte offset and a reader can
+# gunzip exactly one record without touching the rest of the archive.
+# Determinism: members use zlib's default gzip header (MTIME=0, no name,
+# OS=255 "unknown"), so render -> bytes stays a pure function of the
+# records and the pack -> parse round trip is byte-exact like the plain
+# path. A reader distinguishes the two layouts by the first two bytes.
+
+GZIP_MAGIC = b"\x1f\x8b"
+_GZ_CHUNK = 1 << 18  # 256 KiB decompress feed keeps the member walk O(n)
+
+
+def gzip_member(record: bytes) -> bytes:
+    """One record -> one deterministic gzip member."""
+    import zlib
+    c = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return c.compress(record) + c.flush()
+
+
+def render_warc_gz_file(records: list[tuple[str, str, bytes]],
+                        info_date: str | None = None,
+                        rec_type: str = "response") -> bytes:
+    """Per-record-gzip sibling of render_warc_file: same records, same
+    warcinfo lead, each record its own concatenated gzip member."""
+    first_date = info_date or (records[0][1] if records else "2024-01-01T00:00:00Z")
+    buf = [gzip_member(render_warc_record("warcinfo", None, first_date,
+                                          WARC_INFO_PAYLOAD))]
+    buf.extend(gzip_member(render_warc_record(rec_type, u, d, p))
+               for u, d, p in records)
+    return b"".join(buf)
+
+
+def parse_warc_gz_file(data: bytes,
+                       rec_type: str = "response") -> tuple[list[WarcRecord], str | None]:
+    """Binary-safe .warc.gz walk: gunzip one concatenated member at a
+    time (streamed in bounded chunks — linear in the archive, no
+    per-member tail copy) and run the plain-WARC grammar on each
+    member's bytes. A record's offset is its gzip member's COMPRESSED
+    byte offset — the number a CC-style index stores. Error contract
+    matches parse_warc_file: the first corrupt/truncated member stops
+    the walk with a position-stamped reason; everything before it is
+    returned."""
+    import zlib
+    out: list[WarcRecord] = []
+    pos, n = 0, len(data)
+    view = memoryview(data)
+    while pos < n:
+        member_at = pos
+        if data[pos:pos + 2] != GZIP_MAGIC:
+            return out, f"bad gzip magic at byte {pos}"
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        parts: list[bytes] = []
+        try:
+            while not d.eof:
+                if pos >= n:
+                    return out, f"truncated gzip member at byte {member_at}"
+                chunk = view[pos:pos + _GZ_CHUNK]
+                parts.append(d.decompress(chunk))
+                pos += len(chunk)
+        except zlib.error as e:
+            return out, f"corrupt gzip member at byte {member_at}: {e}"
+        pos -= len(d.unused_data)
+        recs, err = parse_warc_file(b"".join(parts), rec_type=rec_type)
+        out.extend(r._replace(offset=member_at) for r in recs)
+        if err is not None:
+            return out, f"in gzip member at byte {member_at}: {err}"
+    return out, None
+
+
 def render_html(text: str, doc_id: int | None = None,
                 rich_anchors: bool = False,
                 with_canonical: bool = False,

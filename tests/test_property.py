@@ -150,3 +150,56 @@ def test_warc_parse_never_crashes_on_corruption(data):
             r.url != u or r.warc_date != d
             for r, (u, d, _) in zip(parsed, recs))
         assert texts_ok or digests_flag or headers_changed
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_warc_url, _warc_payload), max_size=8))
+def test_warc_gz_render_parse_round_trip(recs):
+    """The per-record-gzip layout tunnels the same arbitrary payloads:
+    parse(render(records)) == records, member offsets strictly
+    increasing, and every offset is independently seekable (parsing the
+    suffix at an offset yields that record first — the property a
+    CC-style index relies on)."""
+    date = "2024-05-06T07:08:09Z"
+    data = spec.render_warc_gz_file([(u, date, p) for u, p in recs])
+    parsed, err = spec.parse_warc_gz_file(data)
+    assert err is None
+    assert [(r.url, r.payload) for r in parsed] == [(u, p) for u, p in recs]
+    offs = [r.offset for r in parsed]
+    assert offs == sorted(set(offs)) and all(0 < o < len(data) for o in offs)
+    if parsed:
+        tail, terr = spec.parse_warc_gz_file(data[parsed[-1].offset:])
+        assert terr is None and tail[0].payload == parsed[-1].payload
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_warc_gz_parse_never_crashes_on_corruption(data):
+    """Arbitrary single-site corruption of a valid .warc.gz (byte flip,
+    truncation, insertion) must never raise and must terminate; damage
+    that survives gzip's CRC AND the WARC framing must still be caught
+    by the per-record payload digest."""
+    date = "2024-05-06T07:08:09Z"
+    recs = [(f"u{i}", date, bytes([65 + i]) * (i + 1)) for i in range(4)]
+    base = spec.render_warc_gz_file(recs)
+    mode = data.draw(st.sampled_from(["flip", "truncate", "insert"]))
+    pos = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
+    if mode == "flip":
+        b = data.draw(st.integers(min_value=0, max_value=255))
+        corrupted = base[:pos] + bytes([b]) + base[pos + 1:]
+    elif mode == "truncate":
+        corrupted = base[:pos]
+    else:
+        chunk = data.draw(st.binary(min_size=1, max_size=8))
+        corrupted = base[:pos] + chunk + base[pos:]
+
+    parsed, err = spec.parse_warc_gz_file(corrupted)   # must not raise
+    for r in parsed:
+        assert 0 <= r.offset < len(corrupted)
+    if mode == "flip" and err is None and corrupted != base:
+        texts_ok = [r.payload for r in parsed] == [p for _, _, p in recs]
+        digests_flag = any(r.digest_err for r in parsed)
+        headers_changed = len(parsed) != len(recs) or any(
+            r.url != u or r.warc_date != d
+            for r, (u, d, _) in zip(parsed, recs))
+        assert texts_ok or digests_flag or headers_changed

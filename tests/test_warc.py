@@ -269,3 +269,113 @@ def test_pack_rejects_unparseable_url_loudly(spark):
         "url string, warc_ts timestamp, html binary")
     with pytest.raises(PythonException, match="doc-id layout"):
         warc.pack_warc_files(bad).collect()
+
+
+# --- .warc.gz layer ----------------------------------------------------------
+
+def test_gz_round_trip_and_member_offsets():
+    """Per-record-gzip render -> parse is byte-exact, and each record's
+    offset is its gzip member's COMPRESSED byte offset (the number a
+    CC-style index stores): re-parsing the slice at that offset must
+    yield exactly that record."""
+    recs_in = [("u1", _D, b"<html>a</html>"), ("u2", _D, b"x" * 5000)]
+    data = spec.render_warc_gz_file(recs_in)
+    recs, err = spec.parse_warc_gz_file(data)
+    assert err is None
+    assert [(r.url, r.warc_date, r.payload) for r in recs] == recs_in
+    assert recs[0].offset > 0  # warcinfo member leads
+    for r in recs:
+        alone, err2 = spec.parse_warc_gz_file(data[r.offset:])
+        assert err2 is None and alone[0].payload == r.payload
+
+
+def test_gz_render_is_deterministic_and_magic_detectable():
+    recs = [("u1", _D, b"payload")]
+    a, b = spec.render_warc_gz_file(recs), spec.render_warc_gz_file(recs)
+    assert a == b
+    assert a[:2] == spec.GZIP_MAGIC
+    # plain render of the same records differs and starts with WARC/
+    assert spec.render_warc_file(recs)[:4] == b"WARC"
+
+
+def test_gz_binary_safety_payload_with_gzip_magic_and_warc_magic():
+    # neither the gzip magic nor the WARC version string inside a
+    # payload may desync the member walk
+    evil = spec.GZIP_MAGIC + b"WARC/1.0\r\n" + bytes(range(256))
+    data = spec.render_warc_gz_file([("u1", _D, evil), ("u2", _D, b"ok")])
+    recs, err = spec.parse_warc_gz_file(data)
+    assert err is None
+    assert [r.payload for r in recs] == [evil, b"ok"]
+
+
+def test_gz_malformed_members_stop_with_positioned_error():
+    good = spec.render_warc_gz_file([("u1", _D, b"a")])
+    one = spec.gzip_member(spec.render_warc_record("response", "u2", _D, b"b"))
+
+    # truncated trailing member: good prefix recovered, loud tail
+    recs, err = spec.parse_warc_gz_file(good + one[:-5])
+    assert len(recs) == 1 and recs[0].payload == b"a"
+    assert err is not None and f"at byte {len(good)}" in err
+
+    # garbage between members
+    recs, err = spec.parse_warc_gz_file(good + b"junk" + one)
+    assert len(recs) == 1 and "bad gzip magic" in err
+
+    # flipped byte inside the deflate stream
+    corrupt = bytearray(good + one)
+    corrupt[len(good) + 20] ^= 0xFF
+    recs, err = spec.parse_warc_gz_file(bytes(corrupt))
+    assert len(recs) == 1
+    assert err is not None and "gzip member" in err
+
+    # well-formed member whose CONTENT fails the WARC grammar
+    recs, err = spec.parse_warc_gz_file(
+        good + spec.gzip_member(b"not a warc record"))
+    assert len(recs) == 1
+    assert err is not None and "bad version line" in err
+
+
+def test_gz_pack_read_round_trip_spark(spark):
+    pages = io.synth_pages(spark, SF_DIR)
+    files = warc.pack_warc_gz_files(pages, docs_per_file=25)
+    names = [r.warc_file for r in files.select("warc_file").collect()]
+    assert names and all(n.endswith(".warc.gz") for n in names)
+
+    records = warc.read_warc(files)
+    assert records.filter(F.col("warc_err").isNotNull()).count() == 0
+    src = pages.select("url", F.col("warc_ts").alias("src_ts"),
+                       F.col("html").alias("src_html"))
+    joined = records.join(src, "url", "inner")
+    n_docs = pages.count()
+    assert joined.count() == n_docs == records.count()
+    assert joined.filter(
+        (F.col("html") != F.col("src_html"))
+        | (F.col("warc_ts") != F.col("src_ts"))).count() == 0
+
+
+def test_read_warc_handles_mixed_plain_and_gz_archives(spark):
+    """One ingest directory, both layouts — read_warc sniffs the magic
+    per file, never the name."""
+    plain = spec.render_warc_file([("u1", _D, b"a")])
+    gz = spec.render_warc_gz_file([("u2", _D, b"b")])
+    misnamed = spec.render_warc_gz_file([("u3", _D, b"c")])  # .warc name
+    files = spark.createDataFrame(
+        [Row(warc_file="p.warc", content=bytearray(plain)),
+         Row(warc_file="g.warc.gz", content=bytearray(gz)),
+         Row(warc_file="lies.warc", content=bytearray(misnamed))],
+        schema=warc.WARC_FILE_SCHEMA)
+    out = {r.url: bytes(r.html) for r in warc.read_warc(files).collect()}
+    assert out == {"u1": b"a", "u2": b"b", "u3": b"c"}
+
+
+def test_pack_rejects_subsecond_timestamp_loudly(spark):
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    bad = spark.createDataFrame(
+        [("https://a.example.com/post/1",
+          datetime(2024, 1, 1, 0, 0, 0, 250_000),
+          bytearray(b"<html></html>"))],
+        "url string, warc_ts timestamp, html binary")
+    with pytest.raises(PythonException, match="sub-second"):
+        warc.pack_warc_files(bad).collect()

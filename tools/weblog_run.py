@@ -2,7 +2,11 @@
 executions of the round-4 web-log operators over pre-materialized
 corpora. Spawned by tools/weblog_scale_bench.py; prints one JSON line.
 
-Usage: python tools/weblog_run.py <docs_parquet> <events_parquet> <cores> <n_runs> [pages_parquet]
+Usage: python tools/weblog_run.py <docs_parquet> <events_parquet> <cores> <n_runs> [pages_parquet packed_parquet]
+
+The two WARC paths come as a PAIR (pages to pack, packed archives to
+read) — passing only one of them is an argument error, not a silent
+skip of the WARC legs.
 """
 
 from __future__ import annotations
@@ -61,6 +65,9 @@ def main() -> None:
             robots.politeness_audit(fetches, robots.rules_df(spark)),
         "url_path_templates": urlnorm.template_census(fetches),
     }
+    if len(sys.argv) == 6:
+        raise SystemExit("WARC legs need BOTH paths: pages_parquet "
+                         "packed_parquet (got only one)")
     if len(sys.argv) > 6:
         # WARC directions timed separately at realistic archive size
         # (1000 pages/file) — production runs one at a time: pack is the

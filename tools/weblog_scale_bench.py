@@ -31,7 +31,8 @@ def _cpu_ticks() -> tuple[int, int]:
     return int(parts[1]), int(parts[8])
 
 
-def build_corpora(target_docs: int, target_events: int) -> tuple[str, str, str]:
+def build_corpora(target_docs: int,
+                  target_events: int) -> tuple[str, str, str, str]:
     from pyspark.sql import functions as F
 
     from blog_parser_spark.session import get_spark
