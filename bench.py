@@ -9,6 +9,13 @@ $SPARK_GRAFT_SF_DIR. Prints ONE JSON line:
 The flagship number is wall-clock of parse→enrich→route→aggregate over the
 materialized pages (scan included, SparkSession startup and input build
 excluded), executed to a noop sink so sink I/O doesn't mask engine time.
+
+Steal-window hygiene (round 5): the whole measurement pass re-runs ONCE
+when its /proc/stat steal/user bookend exceeds STEAL_RETRY_THRESHOLD —
+this VM has noisy-neighbor windows where steal rivals user time and a
+single retry usually lands in a quiet window. The reported JSON is the
+attempt with the LOWER steal ratio; if both windows are noisy the number
+ships anyway, flagged by comparable_to_prior_rounds=false.
 """
 
 from __future__ import annotations
@@ -25,6 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # not scheduler/codegen constants (~2s floor): 1M docs ≈ 3-5s at measured
 # ~300-400k docs/s on local[32]. Overridable for quick local iteration.
 MIN_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+
+# retry the measurement pass once when the steal/user bookend exceeds this
+STEAL_RETRY_THRESHOLD = float(
+    os.environ.get("SPARK_GRAFT_STEAL_RETRY", "0.10"))
 
 
 def _cpu_ticks() -> tuple[int, int]:
@@ -54,25 +65,9 @@ def _run_warm(df) -> float:
     return _run(df)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    from blog_parser_spark.session import get_spark
-    from blog_parser_spark.sources import io
-    from blog_parser_spark.plans import pipeline
-    # the registry fills as query modules import; __spark_entry__ imports
-    # them ALL (queries, ext, ext2, ml) — importing only plans.queries here
-    # would leave the dedup/ANN entries unregistered (KeyError)
-    import __spark_entry__ as qreg
-    from pyspark.sql import functions as F
-
-    spark = get_spark("bench", master=f"local[{cpus}]",
-                      shuffle_partitions=4 * cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # ---- input build (deterministic, excluded from timing) ----------------
+def _build_corpora(spark, io, F, groklog, sf_dir: str, sf: str,
+                   cpus: int) -> tuple[str, str, str]:
+    """Deterministic inputs, cached in /tmp, excluded from timing."""
     n_docs_raw = io.read_table(spark, sf_dir, "documents").count()
     replicate = max(1, -(-MIN_BENCH_DOCS // n_docs_raw))
     pages_path = f"/tmp/bench_pages_sf{sf}_x{replicate}.parquet"
@@ -83,8 +78,56 @@ def main() -> None:
          .repartition(4 * cpus)
          .write.mode("overwrite").parquet(tmp))
         os.rename(tmp, pages_path)
+
+    # near-dup corpus: 100k docs (20x replicated, distinct ids, token
+    # perturbation)
+    nd_path = f"/tmp/bench_neardup_sf{sf}_x20.parquet"
+    if not os.path.exists(nd_path):
+        docs = io.read_table(spark, sf_dir, "documents")
+        tmp = nd_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (docs.select("doc_id", "text")
+         .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(19))))
+         .select((F.col("doc_id") + F.col("i") * F.lit(10_000_000)).alias("doc_id"),
+                 F.concat_ws(" ", "text",
+                             F.concat(F.lit("v"), F.col("i").cast("string")))
+                 .alias("text"))
+         .repartition(cpus).write.mode("overwrite").parquet(tmp))
+        os.rename(tmp, nd_path)
+
+    ev = io.read_table(spark, sf_dir, "events")
+    n_ev = ev.count()
+    grok_rep = max(1, -(-MIN_BENCH_DOCS // n_ev))
+    grok_path = f"/tmp/bench_groklines_sf{sf}_x{grok_rep}.parquet"
+    if not os.path.exists(grok_path):
+        tmp = grok_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (groklog.synth_lines(
+            ev.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(grok_rep - 1))))
+            .withColumn("event_id",
+                        F.col("event_id") + F.col("i") * F.lit(10_000_000)))
+         .repartition(4 * cpus).write.mode("overwrite").parquet(tmp))
+        os.rename(tmp, grok_path)
+    return pages_path, nd_path, grok_path
+
+
+def _measure(spark, qreg, sf_dir: str, sf: str, cpus: int,
+             pages_path: str, nd_path: str, grok_path: str) -> dict:
+    """One full measurement pass; returns the result JSON dict including
+    its own /proc/stat steal bookend."""
+    from pyspark.sql import functions as F
+
+    from blog_parser_spark.operators import (dedup as dedup_ops, groklog,
+                                             parse as parse_ops, sampling,
+                                             search as search_ops, textstats)
+    from blog_parser_spark.plans import pipeline
+    from blog_parser_spark.sources import warc as warc_ops
+
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
+    nd = spark.read.parquet(nd_path)
+    lines = spark.read.parquet(grok_path)
+    n_lines = lines.count()
 
     # ---- warmup (python worker pool + codegen; full-size so all 4*cpus
     # workers spawn — a limit() warmup leaves most workers cold) ------------
@@ -103,7 +146,6 @@ def main() -> None:
         pipeline.flagship(spark, pages, dedup=False))
     timings["flagship_salted"] = _run_warm(
         pipeline.flagship(spark, pages, dedup=False, salted=True))
-    from blog_parser_spark.operators import parse as parse_ops
     timings["parse_only"] = _run_warm(parse_ops.parse_pages(pages))
     timings["sentences_default"] = _run_warm(
         parse_ops.sentences_from_pages(pages))
@@ -134,25 +176,9 @@ def main() -> None:
         _run_built(name)
         timings[name] = _run_built(name)
 
-    # scaled near-dup leg: 100k docs (20x replicated, distinct ids, token
-    # perturbation) through the FULL shingle->minhash->band->verify
-    # pipeline with the hot-bucket cap on — the configuration a web
-    # corpus runs, at a size where per-doc cost dominates overhead
-    from blog_parser_spark.operators import dedup as dedup_ops
-    nd_path = f"/tmp/bench_neardup_sf{sf}_x20.parquet"
-    if not os.path.exists(nd_path):
-        docs = io.read_table(spark, sf_dir, "documents")
-        tmp = nd_path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        (docs.select("doc_id", "text")
-         .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(19))))
-         .select((F.col("doc_id") + F.col("i") * F.lit(10_000_000)).alias("doc_id"),
-                 F.concat_ws(" ", "text",
-                             F.concat(F.lit("v"), F.col("i").cast("string")))
-                 .alias("text"))
-         .repartition(cpus).write.mode("overwrite").parquet(tmp))
-        os.rename(tmp, nd_path)
-    nd = spark.read.parquet(nd_path)
+    # scaled near-dup leg: 100k docs through the FULL shingle->minhash->
+    # band->verify pipeline with the hot-bucket cap on — the configuration
+    # a web corpus runs, at a size where per-doc cost dominates overhead
     t0 = time.time()
     (dedup_ops.near_dup_pairs_minhash(nd, threshold=0.6, max_bucket_size=64)
      .write.mode("overwrite").format("noop").save())
@@ -160,7 +186,6 @@ def main() -> None:
 
     # curation throughput at 100k docs: single-pass feature enrich ->
     # quality/lang filter -> exact dedup -> deterministic sample
-    from blog_parser_spark.operators import sampling, textstats
     t0 = time.time()
     feat = textstats.with_features(nd)
     keep = feat.filter((F.col("quality_score") >= 0.5)
@@ -171,7 +196,6 @@ def main() -> None:
 
     # ranked retrieval at 100k docs: BM25 end-to-end (tf explode filtered
     # to query terms pre-shuffle, broadcast corpus stats, fold-sum top-k)
-    from blog_parser_spark.operators import search as search_ops
     t0 = time.time()
     (search_ops.bm25_topk(nd, ["spark", "query", "hash", "scan"], k=10)
      .write.mode("overwrite").format("noop").save())
@@ -180,22 +204,6 @@ def main() -> None:
     # grok log-parse throughput at >=1M lines: the log-pipeline tier's own
     # headline shape — anchored regexp_extract in codegen over materialized
     # raw lines (synthesis excluded), one map-side-combined aggregation
-    from blog_parser_spark.operators import groklog
-    ev = io.read_table(spark, sf_dir, "events")
-    n_ev = ev.count()
-    grok_rep = max(1, -(-MIN_BENCH_DOCS // n_ev))
-    grok_path = f"/tmp/bench_groklines_sf{sf}_x{grok_rep}.parquet"
-    if not os.path.exists(grok_path):
-        tmp = grok_path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        (groklog.synth_lines(
-            ev.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(grok_rep - 1))))
-            .withColumn("event_id",
-                        F.col("event_id") + F.col("i") * F.lit(10_000_000)))
-         .repartition(4 * cpus).write.mode("overwrite").parquet(tmp))
-        os.rename(tmp, grok_path)
-    lines = spark.read.parquet(grok_path)
-    n_lines = lines.count()
     timings["grok_parse_agg_1m"] = _run_warm(
         groklog.requests_by_method_status(groklog.parse_lines(lines)))
 
@@ -204,14 +212,13 @@ def main() -> None:
     # maxFilesPerTrigger forcing ~8 micro-batches, noop streaming sink.
     # Reported next to the batch leg so the per-micro-batch overhead of
     # the streaming runtime is a published number, not a guess.
-    import shutil as _sh
     n_files = len([f for f in os.listdir(grok_path)
                    if f.endswith(".parquet")])
     per_trigger = max(1, n_files // 8)
     ckpt = "/tmp/bench_grok_stream_ck"
 
     def _run_grok_stream() -> tuple[float, int]:
-        _sh.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
         sdf = (spark.readStream.schema("line string")
                .option("maxFilesPerTrigger", per_trigger)
                .parquet(grok_path))
@@ -239,18 +246,23 @@ def main() -> None:
     # (25 docs/archive) and parse the raw bytes back — the source-layer
     # cost of ingesting Common Crawl's native container (round 4). Both
     # directions are single Arrow stages; parallelism = archive files.
-    from blog_parser_spark.sources import warc as warc_ops
+    # Round 5 adds the same loop through the per-record-gzip layout
+    # (Common Crawl's actual on-disk format).
     warc_pages = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0)
     n_warc = warc_pages.count()
 
-    def _warc_roundtrip() -> float:
+    def _warc_roundtrip(gz: bool) -> float:
+        packer = (warc_ops.pack_warc_gz_files if gz
+                  else warc_ops.pack_warc_files)
         t0 = time.time()
-        (warc_ops.read_warc(warc_ops.pack_warc_files(warc_pages, 25))
+        (warc_ops.read_warc(packer(warc_pages, 25))
          .write.mode("overwrite").format("noop").save())
         return time.time() - t0
 
-    _warc_roundtrip()
-    timings["warc_roundtrip_100k"] = _warc_roundtrip()
+    _warc_roundtrip(False)
+    timings["warc_roundtrip_100k"] = _warc_roundtrip(False)
+    _warc_roundtrip(True)
+    timings["warc_gz_roundtrip_100k"] = _warc_roundtrip(True)
 
     # VM-speed reference leg: a FIXED pure-JVM workload that no repo code
     # touches (range -> xxhash64 -> sum; no IO, no Python, no shuffle), so
@@ -270,7 +282,7 @@ def main() -> None:
     user1, steal1 = _cpu_ticks()
     steal_ratio = round((steal1 - steal0) / max(user1 - user0, 1), 4)
     flagship = timings["flagship_e2e"]
-    print(json.dumps({
+    return {
         "metric": "flagship parse→enrich→route→aggregate wall-clock",
         "value": round(flagship, 3),
         "unit": "sec",
@@ -287,6 +299,8 @@ def main() -> None:
         "warc_docs": n_warc,
         "warc_roundtrip_docs_per_sec": round(
             n_warc / timings["warc_roundtrip_100k"], 1),
+        "warc_gz_roundtrip_docs_per_sec": round(
+            n_warc / timings["warc_gz_roundtrip_100k"], 1),
         "cold_first_run_sec": round(cold, 3),
         "cpus": cpus,
         "vm_user_ticks": user1 - user0,
@@ -299,7 +313,49 @@ def main() -> None:
             "compare rounds via leg_sec / vm_reference_hash_sec (a fixed "
             "pure-JVM workload no repo code touches), and distrust "
             "absolutes entirely when comparable_to_prior_rounds is false"),
-    }))
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import functions as F
+
+    from blog_parser_spark.operators import groklog
+    from blog_parser_spark.session import get_spark
+    from blog_parser_spark.sources import io
+    # the registry fills as query modules import; __spark_entry__ imports
+    # them ALL (queries, ext, ext2, ml) — importing only plans.queries here
+    # would leave the dedup/ANN entries unregistered (KeyError)
+    import __spark_entry__ as qreg
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=4 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path, nd_path, grok_path = _build_corpora(
+        spark, io, F, groklog, sf_dir, sf, cpus)
+
+    result = _measure(spark, qreg, sf_dir, sf, cpus,
+                      pages_path, nd_path, grok_path)
+    result["bench_attempts"] = 1
+    if result["vm_steal_user_ratio"] > STEAL_RETRY_THRESHOLD:
+        # noisy window: one bounded retry, keep the quieter attempt —
+        # if both windows are noisy the worse-but-quieter one still
+        # ships, flagged by comparable_to_prior_rounds
+        retry = _measure(spark, qreg, sf_dir, sf, cpus,
+                         pages_path, nd_path, grok_path)
+        retry["bench_attempts"] = 2
+        retry["first_attempt_steal_user_ratio"] = \
+            result["vm_steal_user_ratio"]
+        if retry["vm_steal_user_ratio"] < result["vm_steal_user_ratio"]:
+            result = retry
+        else:
+            result["bench_attempts"] = 2
+            result["retry_steal_user_ratio"] = retry["vm_steal_user_ratio"]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

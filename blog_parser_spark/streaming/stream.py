@@ -42,6 +42,32 @@ def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(src_dir)
 
 
+def stream_warc_archives(spark: SparkSession, src_dir: str,
+                         max_files_per_trigger: int | None = None,
+                         rec_type: str = "response") -> DataFrame:
+    """Streaming WARC ingest — the production arrival unit is the FILE
+    (a crawler drops finished .warc/.warc.gz archives into a landing
+    prefix), so the source is Spark's binaryFile stream: one row per
+    newly-landed archive, fed into the SAME stateless read_warc
+    transform the batch path uses. Parallelism stays per-archive with
+    zero shuffle; the checkpoint records which files are done, so a
+    restart resumes exactly-once with no bookkeeping of ours. Plain and
+    per-record-gzip archives mix freely (read_warc sniffs the magic per
+    file, never the name)."""
+    from ..sources import warc as warc_src
+    # binaryFile's schema is fixed by the format, but streaming sources
+    # demand it declared (schema inference is batch-only)
+    r = (spark.readStream.format("binaryFile")
+         .schema("path string, modificationTime timestamp, "
+                 "length long, content binary")
+         .option("pathGlobFilter", "*.warc*"))
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = r.load(src_dir).select(
+        F.col("path").alias("warc_file"), "content")
+    return warc_src.read_warc(files, rec_type=rec_type)
+
+
 # --- windowed aggregates ------------------------------------------------------
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

@@ -379,3 +379,90 @@ def test_pack_rejects_subsecond_timestamp_loudly(spark):
         "url string, warc_ts timestamp, html binary")
     with pytest.raises(PythonException, match="sub-second"):
         warc.pack_warc_files(bad).collect()
+
+
+def test_presorted_pack_is_exchange_free_and_byte_identical(spark):
+    """The co-partitioned pack (pages table bucketed by archive id) must
+    plan with ZERO Exchange nodes — the pack's byte volume never touches
+    the shuffle system — and must emit byte-identical archives to the
+    shuffled pack. autoBucketedScan must be OFF for a scan->mapInPandas
+    plan (no join/agg above the scan exploits the bucketing, so Spark
+    would otherwise rewrite it into a splittable file scan and break the
+    archive-within-one-partition guarantee)."""
+    from blog_parser_spark.plans.explain import plan_formatted, plan_nodes
+
+    pages = io.synth_pages(spark, SF_DIR)
+    keyed = pages.withColumn(
+        "_fid_mat",
+        (F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long") / 25)
+        .cast("long"))
+    spark.sql("DROP TABLE IF EXISTS pages_by_fid")
+    (keyed.write.mode("overwrite").format("parquet")
+     .bucketBy(4, "_fid_mat").sortBy("_fid_mat").saveAsTable("pages_by_fid"))
+
+    prev = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        src = spark.table("pages_by_fid").select("url", "warc_ts", "html")
+        out = warc.pack_warc_files_presorted(src, docs_per_file=25)
+        nodes = plan_nodes(plan_formatted(out))
+        assert not [n for n in nodes if "Exchange" in n], nodes
+        got = {(r.warc_file, bytes(r.content)) for r in out.collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+
+    exp = {(r.warc_file, bytes(r.content))
+           for r in warc.pack_warc_files(pages, docs_per_file=25).collect()}
+    assert got == exp and len(got) > 1
+
+
+def test_warc_binaryfile_stream_matches_batch_and_resumes(spark, tmp_path):
+    """The production streaming shape: archives land as FILES in a
+    prefix (mixed plain/.warc.gz), the binaryFile source picks up only
+    new ones (checkpoint resume), and the stateless read_warc transform
+    yields exactly the batch parse."""
+    import os
+
+    from blog_parser_spark.streaming import stream
+
+    pages = io.synth_pages(spark, SF_DIR)
+    doc_id = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+    plain = warc.pack_warc_files(pages.filter(doc_id % 2 == 0), 50)
+    gz = warc.pack_warc_gz_files(pages.filter(doc_id % 2 == 1), 50)
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def land(files_df, t):
+        for r in files_df.collect():
+            p = os.path.join(src, r.warc_file)
+            with open(p, "wb") as f:
+                f.write(bytes(r.content))
+            os.utime(p, (t, t))
+
+    def run():
+        (stream.stream_warc_archives(spark, src, max_files_per_trigger=4)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination())
+
+    land(plain, 1_000_000)
+    run()
+    n_total = pages.count()
+    n_first = spark.read.parquet(out).count()
+    # strictly some-but-not-all: the restart below must ADD from the
+    # checkpoint, not reprocess
+    assert 0 < n_first < n_total
+
+    land(gz, 1_000_001)
+    run()
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("warc_err").isNotNull()).count() == 0
+    got = got.select("url", "warc_ts", "html")
+    exp = (warc.read_warc(plain).unionByName(warc.read_warc(gz))
+           .select("url", "warc_ts", "html"))
+    assert got.count() == n_total
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0

@@ -1,14 +1,17 @@
 """Streaming-layer throughput bench — the missing performance story for
 the streaming operators (their existing evidence is correctness parity).
 
-Three legs, each availableNow with maxFilesPerTrigger forcing multiple
+Five legs, each availableNow with maxFilesPerTrigger forcing multiple
 micro-batches, pinned protocol (run under taskset), fresh checkpoints:
 
 - grok_stream:   stateless parse→aggregate over N log lines (the
                  log-pipeline tier's headline shape as a stream);
 - cdc_stream:    stateful CDC snapshot maintenance (hash-bucketed
                  partition-pruned MERGE per batch) over upsert batches;
-- index_stream:  streaming inverted-index maintenance over doc batches.
+- index_stream:  streaming inverted-index maintenance over doc batches;
+- cms_stream:    additive count-min sketch fold per batch;
+- warc_gz_stream: stateless .warc.gz archive ingest from a binaryFile
+                 landing prefix (the continuous-crawl arrival shape).
 
 Per leg: rows/s end-to-end, micro-batch count, and sec/batch — the
 per-batch overhead a production trigger interval must amortize.
@@ -49,6 +52,7 @@ def main() -> None:
     ap.add_argument("--grok-lines", type=int, default=4_000_000)
     ap.add_argument("--cdc-rows", type=int, default=1_000_000)
     ap.add_argument("--index-docs", type=int, default=200_000)
+    ap.add_argument("--warc-docs", type=int, default=200_000)
     ap.add_argument("--batches", type=int, default=8)
     args = ap.parse_args()
 
@@ -177,6 +181,44 @@ def main() -> None:
                          "micro_batches": b,
                          "rows_per_sec": round(n / wall, 1),
                          "sec_per_batch": round(wall / max(b, 1), 3)}
+
+    # --- WARC archive stream (stateless binaryFile ingest, gz layout) ------
+    # archives land as real .warc.gz FILES (the production arrival
+    # unit); the checkpointed binaryFile source feeds the same stateless
+    # read_warc the batch path uses
+    from blog_parser_spark.sources import warc as warc_src
+    pages = io.synth_pages(spark, args.sf_dir)
+    did = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+    pages = pages.filter(did < args.warc_docs)
+    wsrc = os.path.join(WORK, "warc_landing")
+    os.makedirs(wsrc)
+    n_warc_docs = 0
+    n_files = 0
+    for r in (warc_src.pack_warc_gz_files(pages, docs_per_file=1000)
+              .toLocalIterator()):
+        with open(os.path.join(wsrc, r.warc_file), "wb") as f:
+            f.write(bytes(r.content))
+        n_files += 1
+    n_warc_docs = pages.count()
+
+    def run_warc() -> tuple[float, int]:
+        ck = os.path.join(WORK, f"warc_ck_{time.monotonic_ns()}")
+        sdf = stream.stream_warc_archives(
+            spark, wsrc,
+            max_files_per_trigger=max(1, n_files // args.batches))
+        q = (sdf.writeStream.format("noop")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        t0 = time.time()
+        b = _await_done(q)
+        return time.time() - t0, b
+
+    run_warc()  # warmup
+    wall, b = min((run_warc() for _ in range(3)), key=lambda t: t[0])
+    out["warc_gz_stream"] = {"rows": n_warc_docs, "files": n_files,
+                             "sec": round(wall, 2), "micro_batches": b,
+                             "rows_per_sec": round(n_warc_docs / wall, 1),
+                             "sec_per_batch": round(wall / max(b, 1), 3)}
 
     user1, steal1 = _cpu_ticks()
     out["vm_user_ticks"] = user1 - user0

@@ -2,11 +2,11 @@
 executions of the round-4 web-log operators over pre-materialized
 corpora. Spawned by tools/weblog_scale_bench.py; prints one JSON line.
 
-Usage: python tools/weblog_run.py <docs_parquet> <events_parquet> <cores> <n_runs> [pages_parquet packed_parquet]
+Usage: python tools/weblog_run.py <docs_parquet> <events_parquet> <cores> <n_runs> [pages_parquet packed_parquet packed_gz_parquet]
 
-The two WARC paths come as a PAIR (pages to pack, packed archives to
-read) — passing only one of them is an argument error, not a silent
-skip of the WARC legs.
+The three WARC paths come as a TRIPLE (pages to pack, packed plain
+archives to read, packed .warc.gz archives to read) — passing a partial
+set is an argument error, not a silent skip of the WARC legs.
 """
 
 from __future__ import annotations
@@ -65,17 +65,41 @@ def main() -> None:
             robots.politeness_audit(fetches, robots.rules_df(spark)),
         "url_path_templates": urlnorm.template_census(fetches),
     }
-    if len(sys.argv) == 6:
-        raise SystemExit("WARC legs need BOTH paths: pages_parquet "
-                         "packed_parquet (got only one)")
-    if len(sys.argv) > 6:
+    if len(sys.argv) in (6, 7):
+        raise SystemExit("WARC legs need ALL THREE paths: pages_parquet "
+                         "packed_parquet packed_gz_parquet")
+    if len(sys.argv) > 7:
         # WARC directions timed separately at realistic archive size
         # (1000 pages/file) — production runs one at a time: pack is the
         # export/mirror path, read is the Common-Crawl ingest path
         pages = spark.read.parquet(sys.argv[5])
         packed = spark.read.parquet(sys.argv[6])
+        packed_gz = spark.read.parquet(sys.argv[7])
         legs["warc_pack"] = warc.pack_warc_files(pages, docs_per_file=1000)
         legs["warc_read"] = warc.read_warc(packed)
+        # the gz ingest direction: same walk + per-member gunzip in the
+        # one Arrow stage (Common Crawl's actual layout)
+        legs["warc_read_gz"] = warc.read_warc(packed_gz)
+        # zero-exchange pack from the co-partitioned layout: bucketed
+        # table built UNTIMED per JVM (in-memory catalog doesn't cross
+        # processes); bucket count FIXED at 128 so the N and 4N legs run
+        # identical work — only the executor count varies
+        keyed = pages.withColumn(
+            "_fid_mat",
+            (F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+             / 1000).cast("long"))
+        spark.sql("DROP TABLE IF EXISTS bench_pages_by_fid")
+        (keyed.write.mode("overwrite").format("parquet")
+         .bucketBy(128, "_fid_mat").sortBy("_fid_mat")
+         .saveAsTable("bench_pages_by_fid"))
+        # a scan->mapInPandas plan has no bucketing-exploiting operator,
+        # so autoBucketedScan would silently rewrite to a splittable scan
+        # and break the archive-within-one-partition contract
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        legs["warc_pack_bucketed"] = warc.pack_warc_files_presorted(
+            spark.table("bench_pages_by_fid").select("url", "warc_ts", "html"),
+            docs_per_file=1000)
 
     out: dict[str, object] = {"cores": cores, "docs": n_docs,
                               "events": n_events}

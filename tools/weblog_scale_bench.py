@@ -32,7 +32,7 @@ def _cpu_ticks() -> tuple[int, int]:
 
 
 def build_corpora(target_docs: int,
-                  target_events: int) -> tuple[str, str, str, str]:
+                  target_events: int) -> tuple[str, str, str, str, str]:
     from pyspark.sql import functions as F
 
     from blog_parser_spark.session import get_spark
@@ -95,8 +95,18 @@ def build_corpora(target_docs: int,
         (warc.pack_warc_files(spark.read.parquet(pages_path), 1000)
          .write.mode("overwrite").parquet(tmp))
         os.rename(tmp, packed_path)
+
+    # per-record-gzip archives for the gz ingest leg (Common Crawl's
+    # production layout)
+    packed_gz_path = f"/tmp/bench_warc_gz_sf{sf}_x{rep}.parquet"
+    if not os.path.exists(packed_gz_path):
+        tmp = packed_gz_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (warc.pack_warc_gz_files(spark.read.parquet(pages_path), 1000)
+         .write.mode("overwrite").parquet(tmp))
+        os.rename(tmp, packed_gz_path)
     spark.stop()
-    return docs_path, ev_path, pages_path, packed_path
+    return docs_path, ev_path, pages_path, packed_path, packed_gz_path
 
 
 def main() -> None:
@@ -107,15 +117,16 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
-    docs_path, ev_path, pages_path, packed_path = build_corpora(
-        args.docs, args.events)
+    docs_path, ev_path, pages_path, packed_path, packed_gz_path = \
+        build_corpora(args.docs, args.events)
     u0, s0 = _cpu_ticks()
     results = {}
     for cores in (args.n, 4 * args.n):
         out = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}", sys.executable,
              "tools/weblog_run.py", docs_path, ev_path,
-             str(cores), str(args.runs), pages_path, packed_path],
+             str(cores), str(args.runs), pages_path, packed_path,
+             packed_gz_path],
             capture_output=True, text=True, check=True)
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
         print(out.stdout.strip().splitlines()[-1])
@@ -125,7 +136,7 @@ def main() -> None:
     legs = ["boilerplate_strip", "rolling_distinct_users",
             "attribution_last_touch", "heavy_hitters_exact",
             "robots_politeness", "url_path_templates",
-            "warc_pack", "warc_read"]
+            "warc_pack", "warc_read", "warc_read_gz", "warc_pack_bucketed"]
     summary: dict[str, object] = {
         "docs": lo["docs"], "events": lo["events"],
         "steal_user_ratio": round((s1 - s0) / max(1, u1 - u0), 3),
