@@ -81,6 +81,33 @@ def q_scan_warc_gz_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# export_cdx_index — the capture-index sidecar real Common Crawl ships
+# next to its archives (CDX): one row per record with archive file,
+# record position, member byte offset, and payload digest — built over
+# the PRODUCTION .warc.gz layout, with the seekability invariant checked
+# in-plan (re-parse at every recorded offset, byte-compare). The oracle
+# derives url/file/position in closed form from doc_id and expects
+# seek_ok='ok' on every row; offsets and digests are not SQL-derivable
+# (gzip byte lengths / html bytes) and are exercised by the seek check
+# itself plus the pytest against hand archives.
+# ---------------------------------------------------------------------------
+
+@register("export_cdx_index", f"""
+SELECT {_URL_SQL} AS url,
+       'crawl-' || lpad(CAST(doc_id // 25 AS VARCHAR), 6, '0') || '.warc.gz'
+         AS warc_file,
+       CAST(doc_id % 25 AS BIGINT) AS rec_idx,
+       'ok' AS seek_ok
+FROM documents
+""")
+def q_export_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir)
+    files = warc.pack_warc_gz_files(pages, docs_per_file=25)
+    return warc.cdx_index(files).select(
+        "url", "warc_file", "rec_idx", "seek_ok")
+
+
+# ---------------------------------------------------------------------------
 # anchor_text_census — per-target-domain anchor-term counts from the raw
 # html bytes (rich-anchor fixture rendering: anchor text is a closed-form
 # function of the link target id, so the oracle derives the identical

@@ -51,9 +51,9 @@ def register(name: str, sql: str | None = None):
 # multimodal_features/resize/frames (decode codec-stubbed),
 # agg_sliding_window, win_range_frame, win_gapfill, win_sessionize,
 # grouped_map_cumsum, udaf_grouped_agg, sample_exact_k,
-# snapshot_diff_audit, entity_extract_census, trending_event_types,
-# bounce_rate_entry, attribution_linear, agg_bitmap_rollup,
-# agg_bitmap_distinct, parse_robots_audit — all
+# snapshot_diff_audit, schema_drift_census, entity_extract_census,
+# trending_event_types, bounce_rate_entry, attribution_linear,
+# agg_bitmap_rollup, agg_bitmap_distinct, parse_robots_audit — all
 # single-function demos whose operator families already carry driver
 # rows. Rotated-out queries remain covered by tools/check_queries.py
 # plus recorded driver history. Recompute the remainder exactly:
@@ -69,8 +69,9 @@ DRIVER_WINDOW: list[str] = [
     "recrawl_schedule", "sitemap_coverage", "crawl_budget_allocate",
     "charset_census", "crawl_cycle_schedule", "frontier_unseen_filter",
     "parse_hreflang_alternates",
-    # round-5 gz archives (2) — per-record-gzip WARC round trip
-    "scan_warc_gz_pages", "flagship_from_warc_gz",
+    # round-5 archive layer (3) — per-record-gzip round trips + the
+    # seek-verified CDX capture index
+    "scan_warc_gz_pages", "flagship_from_warc_gz", "export_cdx_index",
     # link graph / web structure (3)
     "parse_links_domains", "graph_degree", "graph_triangle_count",
     # log parsing (4)
@@ -81,10 +82,10 @@ DRIVER_WINDOW: list[str] = [
     "interval_coalesce", "slo_burn_rate", "bot_score",
     "experiment_ab_lift", "rolling_distinct_users",
     "attribution_last_touch", "referrer_classify", "fn_url",
-    # crawl hygiene / governance (8)
+    # crawl hygiene / governance (7)
     "robots_politeness", "crawl_delay_audit", "url_redirect_resolve",
     "url_path_templates", "k_anonymity_census", "dq_expectations",
-    "schema_drift_census", "percolate_match",
+    "percolate_match",
     # aggregation / sketch extras (5)
     "agg_incremental_partials", "agg_ohlc_resample",
     "agg_embedding_centroid", "sketch_count_min", "heavy_hitters_exact",

@@ -252,6 +252,56 @@ def read_warc(files: DataFrame, rec_type: str = "response") -> DataFrame:
     return files.mapInPandas(parse, WARC_RECORD_SCHEMA)
 
 
+CDX_SCHEMA = StructType([
+    StructField("url", StringType(), True),        # NULL on quarantine rows
+    StructField("warc_file", StringType(), False),
+    StructField("rec_idx", LongType(), True),      # position among responses
+    StructField("rec_offset", LongType(), True),   # (compressed) byte offset
+    StructField("digest", StringType(), True),     # payload digest (md5:…)
+    StructField("seek_ok", StringType(), True),    # 'ok' | reason | NULL(err)
+])
+
+
+def cdx_index(files: DataFrame, rec_type: str = "response") -> DataFrame:
+    """CDX-style capture index — the sidecar real Common Crawl ships next
+    to its archives: one row per record with (url, archive file, record
+    position, byte offset, payload digest). The offset is the number a
+    consumer SEEKS to (for .warc.gz: the record's gzip member offset),
+    so the index is only as good as its seekability — this builder
+    re-parses each archive's suffix at every recorded offset inside the
+    same Arrow stage and stamps seek_ok='ok' only when the record
+    recovered at the offset is byte-identical to the record indexed.
+    One stateless map stage, parallelism = archive files, zero shuffle —
+    the same 100 TB shape as read_warc. A malformed archive yields its
+    good prefix plus a position-stamped quarantine row (url NULL,
+    seek_ok NULL), the read_warc contract."""
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["warc_file"], pdf["content"]):
+                raw = bytes(content)
+                walker = (spec.parse_warc_gz_file
+                          if raw[:2] == spec.GZIP_MAGIC
+                          else spec.parse_warc_file)
+                recs, err = walker(raw, rec_type=rec_type)
+                for i, r in enumerate(recs):
+                    sub, serr = walker(raw[r.offset:], rec_type=rec_type)
+                    if not sub:
+                        ok = f"seek recovered no record ({serr})"
+                    elif (sub[0].url != r.url
+                          or sub[0].payload != r.payload):
+                        ok = "seek recovered a different record"
+                    else:
+                        ok = "ok"
+                    rows.append((r.url, name, i, r.offset,
+                                 spec.payload_digest(r.payload), ok))
+                if err is not None:
+                    rows.append((None, name, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in CDX_SCHEMA])
+
+    return files.mapInPandas(walk, CDX_SCHEMA)
+
+
 def pack_wat_files(meta: DataFrame, payload: Column,
                    docs_per_file: int = 25) -> DataFrame:
     """(url, warc_ts, <payload expr>) -> WAT files: the metadata sibling

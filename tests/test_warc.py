@@ -381,7 +381,7 @@ def test_pack_rejects_subsecond_timestamp_loudly(spark):
         warc.pack_warc_files(bad).collect()
 
 
-def test_presorted_pack_is_exchange_free_and_byte_identical(spark):
+def test_presorted_pack_is_exchange_free_and_byte_identical(spark, tmp_path):
     """The co-partitioned pack (pages table bucketed by archive id) must
     plan with ZERO Exchange nodes — the pack's byte volume never touches
     the shuffle system — and must emit byte-identical archives to the
@@ -396,9 +396,14 @@ def test_presorted_pack_is_exchange_free_and_byte_identical(spark):
         "_fid_mat",
         (F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long") / 25)
         .cast("long"))
+    # explicit per-test location: a bare saveAsTable would collide with a
+    # leftover warehouse dir from a previous JVM (fresh in-memory catalog,
+    # existing path -> LOCATION_ALREADY_EXISTS)
     spark.sql("DROP TABLE IF EXISTS pages_by_fid")
     (keyed.write.mode("overwrite").format("parquet")
-     .bucketBy(4, "_fid_mat").sortBy("_fid_mat").saveAsTable("pages_by_fid"))
+     .bucketBy(4, "_fid_mat").sortBy("_fid_mat")
+     .option("path", str(tmp_path / "pages_by_fid"))
+     .saveAsTable("pages_by_fid"))
 
     prev = spark.conf.get(
         "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
@@ -466,3 +471,40 @@ def test_warc_binaryfile_stream_matches_batch_and_resumes(spark, tmp_path):
            .select("url", "warc_ts", "html"))
     assert got.count() == n_total
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_cdx_index_offsets_digests_and_quarantine(spark):
+    """The CDX capture index: positions/offsets/digests per record for
+    plain AND gz archives, seek check green on well-formed input, and a
+    truncated archive yields its good-prefix index rows plus one
+    quarantine row."""
+    import hashlib
+
+    plain = spec.render_warc_file([("u1", _D, b"aaa"), ("u2", _D, b"bb")])
+    gz = spec.render_warc_gz_file([("u3", _D, b"cc")])
+    cut = spec.render_warc_file([("u4", _D, b"dd")]) + b"garbage"
+    files = spark.createDataFrame(
+        [Row(warc_file="p.warc", content=bytearray(plain)),
+         Row(warc_file="g.warc.gz", content=bytearray(gz)),
+         Row(warc_file="cut.warc", content=bytearray(cut))],
+        schema=warc.WARC_FILE_SCHEMA)
+    rows = {(r.warc_file, r.url): r for r in warc.cdx_index(files).collect()}
+
+    assert rows[("p.warc", "u1")].rec_idx == 0
+    assert rows[("p.warc", "u2")].rec_idx == 1
+    # offset really is the record's byte position in the plain layout
+    off = rows[("p.warc", "u2")].rec_offset
+    assert plain[off:off + len(spec.WARC_VERSION)] == spec.WARC_VERSION
+    # digest matches the payload
+    assert rows[("p.warc", "u1")].digest == \
+        "md5:" + hashlib.md5(b"aaa").hexdigest()
+    # gz offset is the gzip member offset (magic bytes there)
+    goff = rows[("g.warc.gz", "u3")].rec_offset
+    assert gz[goff:goff + 2] == spec.GZIP_MAGIC
+    # every well-formed record seek-verifies
+    assert all(r.seek_ok == "ok" for k, r in rows.items() if k[1] is not None)
+    # the truncated file indexes its good prefix and quarantines loudly
+    assert rows[("cut.warc", "u4")].seek_ok == "ok"
+    q = rows[("cut.warc", None)]
+    assert q.rec_idx is None and q.seek_ok is None
+    assert len(rows) == 5

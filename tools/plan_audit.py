@@ -186,6 +186,17 @@ def main() -> None:
         "crawl_cycle_schedule (composite: schedule's url shuffle; "
         "weights/quota/order all share the host key, quota broadcast)":
             qs["crawl_cycle_schedule"](spark, SF_DIR),
+        "flagship_from_warc (archive bytes -> record parse -> sidecar "
+        "join -> the unchanged flagship)":
+            qs["flagship_from_warc"](spark, SF_DIR),
+        "scan_warc_gz_pages (per-record-gzip layout: gunzip inside the "
+        "same Arrow stage, zero extra plan nodes vs plain)":
+            qs["scan_warc_gz_pages"](spark, SF_DIR),
+        "export_cdx_index (capture index with in-plan seek check — the "
+        "index itself is ONE stateless map stage with no shuffle; the "
+        "exchange visible below belongs to the fixture PACK that builds "
+        "the archives being indexed)":
+            qs["export_cdx_index"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
@@ -204,6 +215,29 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     targets["bucketed co-located join (zero shuffle exchanges)"] = (
         spark.table("audit_pages_b").join(spark.table("audit_scores_b"), "url"))
+
+    # zero-exchange co-partitioned WARC pack (round 5): pages bucketed by
+    # archive id; autoBucketedScan off because no join/agg above the scan
+    # exploits the bucketing (the rewrite would re-split the files)
+    from pyspark.sql import functions as F
+
+    from blog_parser_spark.sources import warc as warc_src
+    t = "audit_pages_by_fid"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
+    (pages.withColumn(
+        "_fid_mat",
+        (F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long") / 25)
+        .cast("long"))
+     .write.mode("overwrite").format("parquet")
+     .bucketBy(4, "_fid_mat").sortBy("_fid_mat").saveAsTable(t))
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    targets["warc pack from co-partitioned pages (ZERO exchanges — "
+            "corpus bytes never enter the shuffle system)"] = (
+        warc_src.pack_warc_files_presorted(
+            spark.table(t).select("url", "warc_ts", "html"), 25))
 
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — formatted physical plans of the headline queries\n\n"

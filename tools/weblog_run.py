@@ -88,9 +88,16 @@ def main() -> None:
             "_fid_mat",
             (F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
              / 1000).cast("long"))
+        # explicit fresh location: a bare saveAsTable collides with the
+        # previous JVM's leftover warehouse dir (fresh in-memory catalog,
+        # existing path -> LOCATION_ALREADY_EXISTS)
+        import shutil
+        fid_table_path = f"/tmp/weblog_fid_table_{cores}"
+        shutil.rmtree(fid_table_path, ignore_errors=True)
         spark.sql("DROP TABLE IF EXISTS bench_pages_by_fid")
         (keyed.write.mode("overwrite").format("parquet")
          .bucketBy(128, "_fid_mat").sortBy("_fid_mat")
+         .option("path", fid_table_path)
          .saveAsTable("bench_pages_by_fid"))
         # a scan->mapInPandas plan has no bucketing-exploiting operator,
         # so autoBucketedScan would silently rewrite to a splittable scan
