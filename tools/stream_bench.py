@@ -187,9 +187,12 @@ def main() -> None:
     # unit); the checkpointed binaryFile source feeds the same stateless
     # read_warc the batch path uses
     from blog_parser_spark.sources import warc as warc_src
-    pages = io.synth_pages(spark, args.sf_dir)
-    did = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
-    pages = pages.filter(did < args.warc_docs)
+    n_base = io.read_table(spark, args.sf_dir, "documents").count()
+    # tile the fixture corpus up to the requested doc count (distinct
+    # urls per replica) — sf0.1 alone is only ~5k docs, which would
+    # measure micro-batch overhead, not archive-ingest throughput
+    pages = io.synth_pages(
+        spark, args.sf_dir, replicate=max(1, args.warc_docs // n_base))
     wsrc = os.path.join(WORK, "warc_landing")
     os.makedirs(wsrc)
     n_warc_docs = 0
