@@ -68,6 +68,24 @@ def stream_warc_archives(spark: SparkSession, src_dir: str,
     return warc_src.read_warc(files, rec_type=rec_type)
 
 
+def stream_pages_from_warc(spark: SparkSession, src_dir: str,
+                           sidecar: DataFrame,
+                           max_files_per_trigger: int | None = None) -> DataFrame:
+    """Continuous-crawl bridge: landed .warc/.warc.gz archives → the
+    flagship's pages schema (url, warc_ts, html, text, lang), ready for
+    `start_pipeline`. Archives carry only (url, warc_ts, html); the
+    (text, lang) columns of the input-table contract ride in via a
+    stream-static equi-join on url against the provided sidecar (at
+    production scale a bucketed lookup table — the join is re-planned
+    per micro-batch, so sidecar updates between batches are picked up).
+    One stateless Arrow stage plus the per-batch join: no streaming
+    state, exactly-once resume from the file-source checkpoint."""
+    recs = stream_warc_archives(
+        spark, src_dir, max_files_per_trigger).select(
+        "url", "warc_ts", "html")
+    return recs.join(sidecar, "url")
+
+
 # --- windowed aggregates ------------------------------------------------------
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

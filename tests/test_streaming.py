@@ -45,6 +45,55 @@ def test_streaming_flagship_parity_and_resume(spark, tmp_path):
     assert aggregate.multiset_equal(got.select(*cols), batch.select(*cols))
 
 
+def test_streaming_flagship_from_warc_resume(spark, tmp_path):
+    """The full continuous-crawl shape end-to-end: .warc/.warc.gz
+    archives LAND in a prefix → binaryFile stream → stateless read_warc
+    → stream-static sidecar join → the SAME routed fan-out the batch
+    flagship runs — and a restart from the checkpoint processes only
+    newly-landed archives, converging to the batch result exactly."""
+    import os
+
+    from blog_parser_spark.sources import warc
+
+    pages = io.synth_pages(spark, SF_DIR)
+    doc_id = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+    plain = warc.pack_warc_files(pages.filter(doc_id % 2 == 0), 50)
+    gz = warc.pack_warc_gz_files(pages.filter(doc_id % 2 == 1), 50)
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    sidecar = pages.select("url", "text", "lang")
+
+    def land(files_df, t):
+        for r in files_df.collect():
+            p = os.path.join(src, r.warc_file)
+            with open(p, "wb") as f:
+                f.write(bytes(r.content))
+            os.utime(p, (t, t))
+
+    def run():
+        q = stream.start_pipeline(
+            spark, stream.stream_pages_from_warc(spark, src, sidecar),
+            out, ckpt)
+        _await(q)
+
+    # crawl batch 1: the even-doc plain archives land
+    land(plain, 1_000_000)
+    run()
+    n_first = spark.read.parquet(f"{out}/sinks").count()
+
+    # crawl batch 2: the odd-doc .warc.gz archives land; the SAME
+    # checkpoint resumes and must only add the new archives' rows
+    land(gz, 1_000_001)
+    run()
+
+    got = spark.read.parquet(f"{out}/sinks")
+    batch = pipeline.routed_pages(spark, pages, dedup=True, full=True)
+    assert 0 < n_first < batch.count()
+    cols = ["url", "sink", "extracted_text", "n_sentences", "n_bytes"]
+    assert aggregate.multiset_equal(got.select(*cols), batch.select(*cols))
+
+
 def test_streaming_windows_match_batch(spark, tmp_path):
     src = str(tmp_path / "ev")
     io.read_table(spark, SF_DIR, "events").coalesce(2).write.mode("overwrite").parquet(src)
