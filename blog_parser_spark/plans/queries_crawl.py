@@ -108,6 +108,42 @@ def q_export_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# warc_fetch_by_index — random access INTO the archive corpus: a wanted
+# url subset (every 7th doc) is recovered via the CDX index — hit list
+# joined small-side, grouped per archive, broadcast onto the archive
+# table so untouched archives are pruned without shuffling bytes, then
+# one Arrow stage seeks exactly the recorded gzip-member offsets
+# (max_records=1 per seek). The oracle expects exactly one
+# byte_identical=true row per WANTED document: a missed fetch drops a
+# row, a stale offset or corrupted payload yields url NULL / false and
+# breaks the hash. This is the "re-fetch these pages from the crawl"
+# path a real CC consumer runs.
+# ---------------------------------------------------------------------------
+
+@register("warc_fetch_by_index", f"""
+SELECT {_URL_SQL} AS url, true AS byte_identical
+FROM documents WHERE doc_id % 7 = 3
+""")
+def q_warc_fetch_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir)
+    archives = warc.pack_warc_gz_files(pages, docs_per_file=25)
+    index = warc.cdx_index(archives)
+    doc_id = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+    wanted = pages.filter(doc_id % 7 == 3).select("url")
+    fetched = warc.fetch_by_index(archives, index, wanted)
+    src = pages.select(F.col("url").alias("src_url"),
+                       F.col("warc_ts").alias("src_ts"),
+                       F.col("html").alias("src_html"))
+    return (fetched
+            .join(src, fetched["url"] == src["src_url"], "left")
+            .select(
+                fetched["url"],
+                ((F.col("html") == F.col("src_html"))
+                 & (F.col("warc_ts") == F.col("src_ts")))
+                .alias("byte_identical")))
+
+
+# ---------------------------------------------------------------------------
 # anchor_text_census — per-target-domain anchor-term counts from the raw
 # html bytes (rich-anchor fixture rendering: anchor text is a closed-form
 # function of the link target id, so the oracle derives the identical

@@ -285,7 +285,11 @@ def cdx_index(files: DataFrame, rec_type: str = "response") -> DataFrame:
                           else spec.parse_warc_file)
                 recs, err = walker(raw, rec_type=rec_type)
                 for i, r in enumerate(recs):
-                    sub, serr = walker(raw[r.offset:], rec_type=rec_type)
+                    # max_records=1: the verify re-parses ONE record at
+                    # the offset, keeping the whole index build O(n) in
+                    # archive bytes instead of O(n^2) suffix re-walks
+                    sub, serr = walker(raw[r.offset:], rec_type=rec_type,
+                                       max_records=1)
                     if not sub:
                         ok = f"seek recovered no record ({serr})"
                     elif (sub[0].url != r.url
@@ -300,6 +304,70 @@ def cdx_index(files: DataFrame, rec_type: str = "response") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in CDX_SCHEMA])
 
     return files.mapInPandas(walk, CDX_SCHEMA)
+
+
+def fetch_by_index(files: DataFrame, index: DataFrame, wanted: DataFrame,
+                   rec_type: str = "response") -> DataFrame:
+    """Random access into an archive corpus: recover the records for a
+    (small) wanted-url set using the CDX index, touching as little of
+    the corpus as possible. The 100 TB shape in three moves:
+
+    1. wanted urls ⋈ index → (warc_file, rec_offset) hit list — both
+       sides tiny next to the corpus;
+    2. the hit list, grouped per archive, BROADCASTS onto the archive
+       table (inner join) — archives holding no wanted record are
+       pruned without their bytes ever entering a shuffle;
+    3. one Arrow stage seeks each surviving archive at the recorded
+       offsets only — `max_records=1` per seek, so cost is
+       O(wanted records), not O(archive bytes walked) (for .warc.gz
+       the offset is the record's own gzip member: exactly one member
+       is gunzipped per hit).
+
+    On object storage the same hit list drives byte-range GETs; here the
+    archive row carries the full content and the seek is a slice. Every
+    hit yields a row: a stale/corrupt index entry (offset out of range,
+    no record at the offset) produces a quarantine row (url NULL,
+    position-stamped warc_err) rather than a silent miss, so
+    fetched-row count == hit count always holds.
+    """
+    hits = (index.join(wanted.select("url").distinct(), "url")
+            .where(F.col("rec_offset").isNotNull())
+            .select("warc_file", "rec_offset").distinct())
+    per_file = (hits.groupBy("warc_file")
+                .agg(F.sort_array(F.collect_set("rec_offset"))
+                     .alias("_offsets")))
+    tagged = files.join(F.broadcast(per_file), "warc_file")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content, offsets in zip(
+                    pdf["warc_file"], pdf["content"], pdf["_offsets"]):
+                raw = bytes(content)
+                walker = (spec.parse_warc_gz_file
+                          if raw[:2] == spec.GZIP_MAGIC
+                          else spec.parse_warc_file)
+                for off in offsets:
+                    off = int(off)
+                    if not 0 <= off < len(raw):
+                        rows.append((None, None, None, name, off,
+                                     f"index offset {off} outside archive "
+                                     f"(len {len(raw)})"))
+                        continue
+                    recs, err = walker(raw[off:], rec_type=rec_type,
+                                       max_records=1)
+                    if recs:
+                        r = recs[0]
+                        rows.append((r.url, _parse_warc_date(r.warc_date),
+                                     r.payload, name, off, r.digest_err))
+                    else:
+                        rows.append((None, None, None, name, off,
+                                     f"no {rec_type} record at offset "
+                                     f"{off}: {err}"))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in WARC_RECORD_SCHEMA])
+
+    return tagged.mapInPandas(fetch, WARC_RECORD_SCHEMA)
 
 
 def pack_wat_files(meta: DataFrame, payload: Column,

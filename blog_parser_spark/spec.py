@@ -336,7 +336,8 @@ def render_warc_file(records: list[tuple[str, str, bytes]],
 
 
 def parse_warc_file(data: bytes,
-                    rec_type: str = "response") -> tuple[list[WarcRecord], str | None]:
+                    rec_type: str = "response",
+                    max_records: int | None = None) -> tuple[list[WarcRecord], str | None]:
     """Binary-safe WARC walk. Returns (rec_type records in file order, err).
 
     rec_type="response" reads WARC page archives; "conversion" reads WET
@@ -347,6 +348,11 @@ def parse_warc_file(data: bytes,
     so the caller quarantines the file tail loudly (err is a
     position-stamped reason) instead of resyncing heuristically and
     risking silent drops.
+
+    max_records stops the walk as soon as that many rec_type records
+    have been collected (err None — the unvisited tail is not
+    validated). This is the seek primitive: parsing one record at a
+    CDX offset is O(record), not O(archive suffix).
     """
     out: list[WarcRecord] = []
     pos = 0
@@ -397,6 +403,8 @@ def parse_warc_file(data: bytes,
                 derr = (f"payload digest mismatch at byte {pos}: "
                         f"declared {declared}")
             out.append(WarcRecord(url, date, body, pos, derr))
+            if max_records is not None and len(out) >= max_records:
+                return out, None
         pos = body_end + step
     return out, None
 
@@ -435,7 +443,8 @@ def render_warc_gz_file(records: list[tuple[str, str, bytes]],
 
 
 def parse_warc_gz_file(data: bytes,
-                       rec_type: str = "response") -> tuple[list[WarcRecord], str | None]:
+                       rec_type: str = "response",
+                       max_records: int | None = None) -> tuple[list[WarcRecord], str | None]:
     """Binary-safe .warc.gz walk: gunzip one concatenated member at a
     time (streamed in bounded chunks — linear in the archive, no
     per-member tail copy) and run the plain-WARC grammar on each
@@ -468,6 +477,8 @@ def parse_warc_gz_file(data: bytes,
         out.extend(r._replace(offset=member_at) for r in recs)
         if err is not None:
             return out, f"in gzip member at byte {member_at}: {err}"
+        if max_records is not None and len(out) >= max_records:
+            return out, None
     return out, None
 
 

@@ -508,3 +508,61 @@ def test_cdx_index_offsets_digests_and_quarantine(spark):
     q = rows[("cut.warc", None)]
     assert q.rec_idx is None and q.seek_ok is None
     assert len(rows) == 5
+
+
+def test_fetch_by_index_recovers_wanted_urls_only(spark):
+    """Random access: fetch a wanted subset via the CDX index over a
+    MIXED plain/.warc.gz corpus — exactly the wanted urls come back,
+    byte-identical, and the hit list attaches to the archive table via
+    a broadcast join (archive bytes never shuffle)."""
+    pages = io.synth_pages(spark, SF_DIR)
+    doc_id = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+    plain = warc.pack_warc_files(pages.filter(doc_id % 2 == 0), 25)
+    gz = warc.pack_warc_gz_files(pages.filter(doc_id % 2 == 1), 25)
+    archives = plain.unionByName(gz)
+    index = warc.cdx_index(archives)
+    wanted = pages.filter(doc_id % 7 == 3).select("url")
+
+    fetched = warc.fetch_by_index(archives, index, wanted)
+    assert "BroadcastHashJoin" in fetched._jdf.queryExecution().executedPlan().toString()
+
+    got = {r.url: r for r in fetched.collect()}
+    exp = {r.url: r for r in
+           pages.filter(doc_id % 7 == 3)
+           .select("url", "warc_ts", "html").collect()}
+    assert set(got) == set(exp)
+    for u, e in exp.items():
+        assert bytes(got[u].html) == bytes(e.html)
+        assert got[u].warc_ts == e.warc_ts
+        assert got[u].warc_err is None
+
+
+def test_fetch_by_index_quarantines_stale_offsets(spark):
+    """A stale/corrupt index entry (offset out of range, offset into the
+    middle of a payload) yields a position-stamped quarantine row — one
+    output row per hit ALWAYS, never a silent miss."""
+    recs = [("https://a.com/1", "2024-01-01T00:00:00Z", b"aaa"),
+            ("https://a.com/2", "2024-01-01T00:00:01Z", b"bbb")]
+    raw = spec.render_warc_file(recs)
+    files = spark.createDataFrame(
+        [Row(warc_file="p.warc", content=bytearray(raw))])
+    good = {r.url: r.rec_offset for r in warc.cdx_index(files).collect()}
+    bad_index = spark.createDataFrame(
+        [Row(url="https://a.com/1", warc_file="p.warc",
+             rec_offset=int(good["https://a.com/1"])),   # valid
+         Row(url="https://a.com/2", warc_file="p.warc",
+             rec_offset=int(good["https://a.com/2"]) + 7),  # mid-record
+         Row(url="https://a.com/3", warc_file="p.warc",
+             rec_offset=10_000_000)])                    # out of range
+    wanted = spark.createDataFrame(
+        [Row(url=f"https://a.com/{i}") for i in (1, 2, 3)])
+
+    rows = warc.fetch_by_index(files, bad_index, wanted).collect()
+    assert len(rows) == 3
+    ok = [r for r in rows if r.url is not None]
+    assert [r.url for r in ok] == ["https://a.com/1"]
+    assert bytes(ok[0].html) == b"aaa"
+    errs = sorted((r for r in rows if r.url is None),
+                  key=lambda r: r.rec_offset)
+    assert "no response record at offset" in errs[0].warc_err
+    assert "outside archive" in errs[1].warc_err
