@@ -144,6 +144,42 @@ def q_warc_fetch_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# crawl_digest_delta — the month-over-month crawl comparison: two crawls
+# are synthesized deterministically (crawl A misses every 13th doc,
+# crawl B misses every 11th and re-renders every 7th with one appended
+# byte), packed into .warc.gz archives, CDX-indexed, and diffed BY
+# PAYLOAD DIGEST. The delta statuses are closed-form functions of
+# doc_id, so the oracle derives them without seeing any bytes; the
+# Spark side has to get the pack → index → digest → full-outer-join
+# path exactly right for every url to land in its class. 'same' rows
+# are what CC's dedup-vs-prior-crawl skips; 'changed'+'added' is the
+# refresh set fetch_by_index pulls.
+# ---------------------------------------------------------------------------
+
+@register("crawl_digest_delta", f"""
+SELECT {_URL_SQL} AS url,
+       CASE WHEN doc_id % 13 = 0 THEN 'added'
+            WHEN doc_id % 11 = 0 THEN 'gone'
+            WHEN doc_id % 7  = 0 THEN 'changed'
+            ELSE 'same' END AS status
+FROM documents
+WHERE NOT (doc_id % 11 = 0 AND doc_id % 13 = 0)
+""")
+def q_crawl_digest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+    crawl_a = pages.filter(doc_id % 13 != 0)
+    crawl_b = (pages.filter(doc_id % 11 != 0)
+               .withColumn("html", F.when(
+                   doc_id % 7 == 0,
+                   F.concat(F.col("html"), F.lit(b" ")))
+                   .otherwise(F.col("html"))))
+    idx_a = warc.cdx_index(warc.pack_warc_gz_files(crawl_a, 25))
+    idx_b = warc.cdx_index(warc.pack_warc_gz_files(crawl_b, 25))
+    return warc.index_delta(idx_a, idx_b)
+
+
+# ---------------------------------------------------------------------------
 # anchor_text_census — per-target-domain anchor-term counts from the raw
 # html bytes (rich-anchor fixture rendering: anchor text is a closed-form
 # function of the link target id, so the oracle derives the identical

@@ -370,6 +370,33 @@ def fetch_by_index(files: DataFrame, index: DataFrame, wanted: DataFrame,
     return tagged.mapInPandas(fetch, WARC_RECORD_SCHEMA)
 
 
+def index_delta(prior: DataFrame, current: DataFrame) -> DataFrame:
+    """Cross-crawl delta from two CDX indexes: per url, did the capture
+    appear ('added'), disappear ('gone'), change content ('changed' —
+    url present in both, payload digest differs), or stay identical
+    ('same')? This is the comparison real Common Crawl consumers run
+    between monthly crawls — 'same' rows are exactly the records a
+    digest-based dedup-vs-prior-crawl policy skips re-storing, and
+    'changed'/'added' are the refresh set to fetch (fetch_by_index).
+
+    Scale shape: the join is INDEX ⋈ INDEX on url — two sidecar tables,
+    each orders of magnitude smaller than the archives they describe;
+    hash-partitioned full outer join, archive bytes never involved.
+    Quarantine rows (url NULL) are excluded: a delta between indexes is
+    only meaningful over successfully indexed captures."""
+    a = (prior.where(F.col("url").isNotNull())
+         .select("url", F.col("digest").alias("_dig_a")))
+    b = (current.where(F.col("url").isNotNull())
+         .select("url", F.col("digest").alias("_dig_b")))
+    return (a.join(b, "url", "full_outer")
+            .select(
+                "url",
+                F.when(F.col("_dig_a").isNull(), F.lit("added"))
+                 .when(F.col("_dig_b").isNull(), F.lit("gone"))
+                 .when(F.col("_dig_a") != F.col("_dig_b"), F.lit("changed"))
+                 .otherwise(F.lit("same")).alias("status")))
+
+
 def pack_wat_files(meta: DataFrame, payload: Column,
                    docs_per_file: int = 25) -> DataFrame:
     """(url, warc_ts, <payload expr>) -> WAT files: the metadata sibling

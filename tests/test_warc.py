@@ -566,3 +566,32 @@ def test_fetch_by_index_quarantines_stale_offsets(spark):
                   key=lambda r: r.rec_offset)
     assert "no response record at offset" in errs[0].warc_err
     assert "outside archive" in errs[1].warc_err
+
+
+def test_index_delta_statuses_and_quarantine_exclusion(spark):
+    """Hand archives: one url gone, one added, one changed (different
+    payload bytes), one identical — and a quarantine row (url NULL) in
+    either index never produces a delta row."""
+    a_raw = spec.render_warc_file(
+        [("https://d.com/gone", "2024-01-01T00:00:00Z", b"g"),
+         ("https://d.com/chg", "2024-01-01T00:00:01Z", b"v1"),
+         ("https://d.com/same", "2024-01-01T00:00:02Z", b"s")])
+    b_raw = spec.render_warc_file(
+        [("https://d.com/chg", "2024-02-01T00:00:00Z", b"v2"),
+         ("https://d.com/same", "2024-02-01T00:00:01Z", b"s"),
+         ("https://d.com/new", "2024-02-01T00:00:02Z", b"n")])
+    # truncated file -> its index gets a quarantine row (url NULL)
+    cut = spec.render_warc_file(
+        [("https://d.com/x", "2024-02-01T00:00:03Z", b"xxxx")])[:-30]
+    idx_a = warc.cdx_index(spark.createDataFrame(
+        [Row(warc_file="a.warc", content=bytearray(a_raw))]))
+    idx_b = warc.cdx_index(spark.createDataFrame(
+        [Row(warc_file="b.warc", content=bytearray(b_raw)),
+         Row(warc_file="cut.warc", content=bytearray(cut))]))
+    assert idx_b.filter("url IS NULL").count() == 1
+
+    got = {r.url: r.status for r in warc.index_delta(idx_a, idx_b).collect()}
+    assert got == {"https://d.com/gone": "gone",
+                   "https://d.com/chg": "changed",
+                   "https://d.com/same": "same",
+                   "https://d.com/new": "added"}
