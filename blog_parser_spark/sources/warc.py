@@ -35,7 +35,8 @@ from datetime import datetime
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
-    BinaryType, LongType, StringType, StructField, StructType, TimestampType,
+    ArrayType, BinaryType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 from .. import spec
@@ -324,19 +325,36 @@ def fetch_by_index(files: DataFrame, index: DataFrame, wanted: DataFrame,
        is gunzipped per hit).
 
     On object storage the same hit list drives byte-range GETs; here the
-    archive row carries the full content and the seek is a slice. Every
-    hit yields a row: a stale/corrupt index entry (offset out of range,
-    no record at the offset) produces a quarantine row (url NULL,
-    position-stamped warc_err) rather than a silent miss, so
-    fetched-row count == hit count always holds.
+    archive row carries the full content and the seek is a slice. The
+    hit list is materialized to the driver WHEN CALLED (it IS the
+    driver's fetch plan — the names of the objects to GET), bounded by
+    limits.MAX_DRIVER_LIST and asserted: a literal IN-filter on
+    warc_file pushes into the archive scan and skips untouched row
+    groups, which no join-side pruning can do (the limits.py
+    convention). Every hit yields a row: a stale/corrupt index entry
+    (offset out of range, no record at the offset) produces a
+    quarantine row (url NULL, position-stamped warc_err) rather than a
+    silent miss, so fetched-row count == hit count always holds.
     """
+    from .. import limits
     hits = (index.join(wanted.select("url").distinct(), "url")
             .where(F.col("rec_offset").isNotNull())
             .select("warc_file", "rec_offset").distinct())
     per_file = (hits.groupBy("warc_file")
                 .agg(F.sort_array(F.collect_set("rec_offset"))
                      .alias("_offsets")))
-    tagged = files.join(F.broadcast(per_file), "warc_file")
+    plan = per_file.collect()
+    limits.check_driver_list_bound(len(plan), "fetch_by_index archives")
+    spark = files.sparkSession
+    plan_schema = StructType([
+        StructField("warc_file", StringType(), False),
+        StructField("_offsets", ArrayType(LongType()), False)])
+    per_file_local = spark.createDataFrame(
+        [(r.warc_file, [int(o) for o in r._offsets]) for r in plan],
+        plan_schema)
+    tagged = (files
+              .where(F.col("warc_file").isin([r.warc_file for r in plan]))
+              .join(F.broadcast(per_file_local), "warc_file"))
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
