@@ -264,6 +264,37 @@ def _measure(spark, qreg, sf_dir: str, sf: str, cpus: int,
     _warc_roundtrip(True)
     timings["warc_gz_roundtrip_100k"] = _warc_roundtrip(True)
 
+    # Index-driven random access (round 5): CDX-index the gz archives,
+    # then recover a ~1k-url wanted subset via fetch_by_index — the
+    # "re-fetch these pages from the crawl" path (scan-pruned archives,
+    # one gunzipped member per hit). Includes building the index in the
+    # timing's setup, not the fetch leg.
+    warc_archives = warc_ops.pack_warc_gz_files(warc_pages, 25)
+    arch_path = "/tmp/bench_warc_archives.parquet"
+    warc_archives.write.mode("overwrite").parquet(arch_path)
+    archives_t = spark.read.parquet(arch_path)
+    idx_path = "/tmp/bench_warc_cdx.parquet"
+    warc_ops.cdx_index(archives_t).write.mode("overwrite").parquet(idx_path)
+    index_t = spark.read.parquet(idx_path)
+    # salt the wanted-set hash: warc_pages itself was chosen by
+    # xxhash64(url)%10, so an unsalted %100 would correlate (1-in-10 of
+    # the subset, not 1-in-100)
+    wanted = (index_t.where(F.col("url").isNotNull())
+              .where(F.pmod(F.xxhash64(F.concat(F.col("url"),
+                                                F.lit("#wanted"))),
+                            F.lit(100)) == 0)
+              .select("url"))
+    n_wanted = wanted.count()
+
+    def _warc_fetch() -> float:
+        t0 = time.time()
+        (warc_ops.fetch_by_index(archives_t, index_t, wanted)
+         .write.mode("overwrite").format("noop").save())
+        return time.time() - t0
+
+    _warc_fetch()
+    timings["warc_fetch_by_index_1pct"] = _warc_fetch()
+
     # VM-speed reference leg: a FIXED pure-JVM workload that no repo code
     # touches (range -> xxhash64 -> sum; no IO, no Python, no shuffle), so
     # cross-round readers can separate engine changes from host-speed
@@ -301,6 +332,7 @@ def _measure(spark, qreg, sf_dir: str, sf: str, cpus: int,
             n_warc / timings["warc_roundtrip_100k"], 1),
         "warc_gz_roundtrip_docs_per_sec": round(
             n_warc / timings["warc_gz_roundtrip_100k"], 1),
+        "warc_fetch_wanted_urls": n_wanted,
         "cold_first_run_sec": round(cold, 3),
         "cpus": cpus,
         "vm_user_ticks": user1 - user0,
