@@ -69,9 +69,16 @@ DRIVER_WINDOW: list[str] = [
     "recrawl_schedule", "sitemap_coverage", "crawl_budget_allocate",
     "charset_census", "crawl_cycle_schedule", "frontier_unseen_filter",
     "parse_hreflang_alternates",
-    # round-5 archive layer (3) — per-record-gzip round trips + the
-    # seek-verified CDX capture index
+    # round-5 archive layer (5) — per-record-gzip round trips, the
+    # seek-verified CDX capture index, index-driven random access
+    # (byte-identity through scan-pruned single-member seeks), and the
+    # cross-crawl digest delta. The last two took the slots of
+    # agg_ohlc_resample / agg_embedding_centroid: byte-level archive
+    # evidence belongs in the driver record, and both dropped singles'
+    # families already carry driver-green rows (agg_* r1-r3;
+    # ann_lsh_bucketed r4, dedup_embedding_cosine r1-r3).
     "scan_warc_gz_pages", "flagship_from_warc_gz", "export_cdx_index",
+    "warc_fetch_by_index", "crawl_digest_delta",
     # link graph / web structure (3)
     "parse_links_domains", "graph_degree", "graph_triangle_count",
     # log parsing (4)
@@ -86,9 +93,8 @@ DRIVER_WINDOW: list[str] = [
     "robots_politeness", "crawl_delay_audit", "url_redirect_resolve",
     "url_path_templates", "k_anonymity_census", "dq_expectations",
     "percolate_match",
-    # aggregation / sketch extras (5)
-    "agg_incremental_partials", "agg_ohlc_resample",
-    "agg_embedding_centroid", "sketch_count_min", "heavy_hitters_exact",
+    # aggregation / sketch extras (3)
+    "agg_incremental_partials", "sketch_count_min", "heavy_hitters_exact",
     # text / retrieval / dedup singles (3)
     "text_boilerplate_strip", "search_phrase_match", "dedup_containment",
 ]
