@@ -197,6 +197,13 @@ def main() -> None:
         "exchange visible below belongs to the fixture PACK that builds "
         "the archives being indexed)":
             qs["export_cdx_index"](spark, SF_DIR),
+        "warc_fetch_by_index (driver-bounded IN-filter prunes the "
+        "archive scan; broadcast offsets; one Arrow seek stage with "
+        "max_records=1 per hit — archive bytes never shuffle)":
+            qs["warc_fetch_by_index"](spark, SF_DIR),
+        "crawl_digest_delta (index ⋈ index full-outer on url — two "
+        "sidecar-sized inputs, archive bytes never join)":
+            qs["crawl_digest_delta"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
