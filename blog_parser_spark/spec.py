@@ -355,6 +355,8 @@ def parse_warc_file(data: bytes,
     CDX offset is O(record), not O(archive suffix).
     """
     out: list[WarcRecord] = []
+    if max_records is not None and max_records <= 0:
+        return out, None
     pos = 0
     n = len(data)
     while pos < n:
@@ -455,6 +457,8 @@ def parse_warc_gz_file(data: bytes,
     returned."""
     import zlib
     out: list[WarcRecord] = []
+    if max_records is not None and max_records <= 0:
+        return out, None
     pos, n = 0, len(data)
     view = memoryview(data)
     while pos < n:

@@ -203,3 +203,26 @@ def test_warc_gz_parse_never_crashes_on_corruption(data):
             r.url != u or r.warc_date != d
             for r, (u, d, _) in zip(parsed, recs))
         assert texts_ok or digests_flag or headers_changed
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_warc_url, _warc_payload), max_size=8),
+       st.integers(min_value=0, max_value=10))
+def test_warc_max_records_is_exact_prefix(recs, k):
+    """The seek primitive's contract: parsing with max_records=k returns
+    EXACTLY the first k records of the full parse (url, payload, offset
+    all equal) with err None once k records were found — for both the
+    plain and the per-record-gzip layout."""
+    date = "2024-05-06T07:08:09Z"
+    triples = [(u, date, p) for u, p in recs]
+    for render, parse in ((spec.render_warc_file, spec.parse_warc_file),
+                          (spec.render_warc_gz_file,
+                           spec.parse_warc_gz_file)):
+        data = render(triples)
+        full, err_full = parse(data)
+        assert err_full is None
+        got, err = parse(data, max_records=k)
+        key = [(r.url, r.payload, r.offset) for r in got]
+        want = [(r.url, r.payload, r.offset) for r in full[:k]]
+        assert key == want
+        assert err is None
