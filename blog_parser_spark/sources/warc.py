@@ -231,6 +231,16 @@ def read_warc(files: DataFrame, rec_type: str = "response") -> DataFrame:
     good prefix AND one quarantine row carrying the position-stamped
     reason — the resume/metrics story is identical to the landing-zone
     readers: count failures, never silently drop bytes.
+
+    Sizing note (measured, tools/warc_scale_curve.py): archive rows are
+    100s-of-KB blobs, so the session's pages-tuned scan split
+    (maxPartitionBytes=128m) yields FEW heavyweight tasks — at 10M docs
+    the job collapsed to one 32-task wave (GC-bound, 1.66x per-doc
+    bend) and needs heap = concurrent tasks x split x ~3 in-flight
+    copies. Right-size so each core gets >=3-4 waves (32m splits
+    flattened the curve to 0.93); at cluster scale the knob is the
+    .warc.gz object size itself — gzip members don't split mid-record,
+    so ~100 MB-1 GB objects x one task each balance automatically.
     """
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
