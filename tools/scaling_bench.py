@@ -6,6 +6,11 @@ JVM subprocesses, and report throughput at both plus scaling efficiency.
     python tools/scaling_bench.py [--docs 1000000] [--n 8] [--runs 3]
 
 Writes BENCH/BASELINE.md and prints the efficiency JSON.
+
+Data-scale curve mode (the other axis: docs x10 at FIXED cores — does
+per-doc flagship cost stay flat as the corpus grows?):
+
+    python tools/scaling_bench.py --curve-docs 1000000 10000000 --curve-cores 32
 """
 
 from __future__ import annotations
@@ -48,7 +53,32 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--n", type=int, default=8, help="small parallelism N (big = 4N)")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--curve-docs", type=int, nargs="+", default=None,
+                    help="data-scale curve: doc counts at fixed cores")
+    ap.add_argument("--curve-cores", type=int, default=32)
     args = ap.parse_args()
+
+    if args.curve_docs:
+        recs = []
+        for docs in args.curve_docs:
+            path = build_corpus(docs)
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{args.curve_cores - 1}", sys.executable,
+                 "tools/scaling_run.py", path, str(args.curve_cores),
+                 str(args.runs)],
+                capture_output=True, text=True, check=True)
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            print(json.dumps(rec))
+            recs.append(rec)
+        a, b = recs[0], recs[-1]
+        print(json.dumps({
+            "leg": "flagship_data_curve", "cores": args.curve_cores,
+            "scale_factor": round(b["docs"] / a["docs"], 2),
+            "time_ratio": round(b["best_sec"] / a["best_sec"], 2),
+            "per_doc_cost_ratio": round(
+                (b["best_sec"] / b["docs"]) / (a["best_sec"] / a["docs"]), 3),
+        }))
+        return
 
     path = build_corpus(args.docs)
     results = {}
