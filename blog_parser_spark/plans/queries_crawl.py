@@ -180,6 +180,52 @@ def q_crawl_digest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# crawl_incremental_refresh — the monthly-crawl update loop END TO END:
+# diff the two crawls' CDX sidecars (index_delta), take the refresh set
+# ('added' + 'changed' — exactly what a consumer re-processes), recover
+# ONLY those members from the new crawl's archives via fetch_by_index
+# (single-member gunzips, untouched archives pruned), and account the
+# fetched payload bytes per status. The oracle re-derives both the
+# refresh classification AND the byte totals in closed form: n_bytes is
+# the validated rendered-html length from PAGES_SQL, +1 for every
+# doc_id%7==0 page (crawl B re-rendered those with one appended byte —
+# which is also what made their digests differ). A green row therefore
+# proves delta classification, index-driven fetch completeness, AND
+# payload byte integrity in one shot. Scale shape: index⋈index delta +
+# O(refresh) member seeks — the archives are never scanned in full.
+# ---------------------------------------------------------------------------
+
+@register("crawl_incremental_refresh", queries.PAGES_SQL + """
+SELECT CASE WHEN doc_id % 13 = 0 THEN 'added' ELSE 'changed' END AS status,
+       COUNT(*) AS docs,
+       CAST(SUM(n_bytes + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS bytes
+FROM routed_sink
+WHERE doc_id % 11 <> 0 AND (doc_id % 13 = 0 OR doc_id % 7 = 0)
+GROUP BY 1
+""")
+def q_crawl_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = io.synth_pages(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+    crawl_a = pages.filter(doc_id % 13 != 0)
+    crawl_b = (pages.filter(doc_id % 11 != 0)
+               .withColumn("html", F.when(
+                   doc_id % 7 == 0,
+                   F.concat(F.col("html"), F.lit(b" ")))
+                   .otherwise(F.col("html"))))
+    archives_b = warc.pack_warc_gz_files(crawl_b, 25)
+    idx_a = warc.cdx_index(warc.pack_warc_gz_files(crawl_a, 25))
+    idx_b = warc.cdx_index(archives_b)
+    refresh = (warc.index_delta(idx_a, idx_b)
+               .filter(F.col("status").isin("added", "changed")))
+    fetched = warc.fetch_by_index(archives_b, idx_b, refresh.select("url"))
+    return (fetched.join(refresh, "url")
+            .groupBy("status")
+            .agg(F.count("*").alias("docs"),
+                 F.sum(F.length("html")).cast("long").alias("bytes")))
+
+
+# ---------------------------------------------------------------------------
 # anchor_text_census — per-target-domain anchor-term counts from the raw
 # html bytes (rich-anchor fixture rendering: anchor text is a closed-form
 # function of the link target id, so the oracle derives the identical

@@ -595,3 +595,31 @@ def test_index_delta_statuses_and_quarantine_exclusion(spark):
                    "https://d.com/chg": "changed",
                    "https://d.com/same": "same",
                    "https://d.com/new": "added"}
+
+
+def test_incremental_refresh_fetches_exactly_added_and_changed(spark):
+    """The monthly-update loop on hand archives: delta the two indexes,
+    fetch ONLY the 'added'+'changed' members from the new crawl, and get
+    the NEW payload bytes back — the 'same' and 'gone' urls never touch
+    the archive reader (plans/queries_crawl.py crawl_incremental_refresh
+    runs the same loop under its closed-form oracle)."""
+    a_raw = spec.render_warc_file(
+        [("https://d.com/gone", "2024-01-01T00:00:00Z", b"g"),
+         ("https://d.com/chg", "2024-01-01T00:00:01Z", b"v1"),
+         ("https://d.com/same", "2024-01-01T00:00:02Z", b"s")])
+    b_raw = spec.render_warc_gz_file(
+        [("https://d.com/chg", "2024-02-01T00:00:00Z", b"v2"),
+         ("https://d.com/same", "2024-02-01T00:00:01Z", b"s"),
+         ("https://d.com/new", "2024-02-01T00:00:02Z", b"n")])
+    idx_a = warc.cdx_index(spark.createDataFrame(
+        [Row(warc_file="a.warc", content=bytearray(a_raw))]))
+    files_b = spark.createDataFrame(
+        [Row(warc_file="b.warc.gz", content=bytearray(b_raw))])
+    idx_b = warc.cdx_index(files_b)
+
+    refresh = (warc.index_delta(idx_a, idx_b)
+               .filter(F.col("status").isin("added", "changed")))
+    fetched = warc.fetch_by_index(files_b, idx_b, refresh.select("url"))
+
+    got = {r.url: bytes(r.html) for r in fetched.collect()}
+    assert got == {"https://d.com/chg": b"v2", "https://d.com/new": b"n"}

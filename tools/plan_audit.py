@@ -204,6 +204,10 @@ def main() -> None:
         "crawl_digest_delta (index ⋈ index full-outer on url — two "
         "sidecar-sized inputs, archive bytes never join)":
             qs["crawl_digest_delta"](spark, SF_DIR),
+        "crawl_incremental_refresh (monthly-update composite: index "
+        "delta -> fetch ONLY added+changed members -> per-status byte "
+        "accounting; full archives never scanned)":
+            qs["crawl_incremental_refresh"](spark, SF_DIR),
     }
 
     # co-located bucketed join (zero-shuffle): needs catalog tables;
