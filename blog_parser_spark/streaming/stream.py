@@ -86,6 +86,40 @@ def stream_pages_from_warc(spark: SparkSession, src_dir: str,
     return recs.join(sidecar, "url")
 
 
+def stream_crawl_delta(spark: SparkSession, src_dir: str,
+                       prior_index: DataFrame,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming dual of warc.index_delta for the ARRIVAL direction: as
+    the new crawl's archives land, classify every capture against the
+    PRIOR crawl's CDX index — 'added' (url never seen), 'changed'
+    (payload digest differs: refresh it), 'same' (digest equal: the set
+    a dedup-vs-prior-crawl policy skips). 'gone' is undecidable
+    mid-crawl (absence is only observable once the crawl closes) — run
+    the batch index_delta at crawl close for that; this stream makes
+    the per-arrival refresh/skip decision that gates downstream work.
+
+    Scale shape: the stream side is the stateless archive parse plus a
+    JVM md5 (same digest spec.payload_digest/cdx_index use — no new
+    Python stage); the prior index is a sidecar joined stream-static
+    per micro-batch (broadcast when small; re-planned each batch, so a
+    refreshed sidecar is picked up between batches). No streaming
+    state; exactly-once resume from the file-source checkpoint.
+    Quarantine rows (url NULL) are excluded here like in the batch
+    index_delta — consume stream_warc_archives directly to count them.
+    """
+    recs = stream_warc_archives(spark, src_dir, max_files_per_trigger)
+    live = (recs.where(F.col("url").isNotNull())
+            .select("url", "warc_file",
+                    F.concat(F.lit("md5:"), F.md5("html")).alias("_dig_b")))
+    prior = (prior_index.where(F.col("url").isNotNull())
+             .select("url", F.col("digest").alias("_dig_a")))
+    return (live.join(prior, "url", "left_outer")
+            .select("url", "warc_file",
+                    F.when(F.col("_dig_a").isNull(), "added")
+                     .when(F.col("_dig_a") != F.col("_dig_b"), "changed")
+                     .otherwise("same").alias("status")))
+
+
 # --- windowed aggregates ------------------------------------------------------
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
