@@ -1,7 +1,7 @@
 """Streaming-layer throughput bench — the missing performance story for
 the streaming operators (their existing evidence is correctness parity).
 
-Five legs, each availableNow with maxFilesPerTrigger forcing multiple
+Six legs, each availableNow with maxFilesPerTrigger forcing multiple
 micro-batches, pinned protocol (run under taskset), fresh checkpoints:
 
 - grok_stream:   stateless parse→aggregate over N log lines (the
@@ -11,7 +11,10 @@ micro-batches, pinned protocol (run under taskset), fresh checkpoints:
 - index_stream:  streaming inverted-index maintenance over doc batches;
 - cms_stream:    additive count-min sketch fold per batch;
 - warc_gz_stream: stateless .warc.gz archive ingest from a binaryFile
-                 landing prefix (the continuous-crawl arrival shape).
+                 landing prefix (the continuous-crawl arrival shape);
+- crawl_delta_stream: the per-arrival refresh/skip decision — the same
+                 landing prefix classified added/changed/same against a
+                 prior crawl's CDX index (stream-static join per batch).
 
 Per leg: rows/s end-to-end, micro-batch count, and sec/batch — the
 per-batch overhead a production trigger interval must amortize.
@@ -222,6 +225,42 @@ def main() -> None:
                              "sec": round(wall, 2), "micro_batches": b,
                              "rows_per_sec": round(n_warc_docs / wall, 1),
                              "sec_per_batch": round(wall / max(b, 1), 3)}
+
+    # --- streaming crawl delta (same landing prefix vs a prior CDX index) ---
+    # The prior crawl: drop every 13th doc (those land as 'added') and
+    # mutate every 7th (those land as 'changed'); rest classify 'same'.
+    # The index is a materialized sidecar (read back from parquet) so the
+    # timed leg pays the realistic per-batch stream-static join, not the
+    # prior crawl's synthesis.
+    doc_id = F.regexp_extract("url", r"/post/(\d+)$", 1).cast("long")
+    prior_pages = (pages.filter(doc_id % 13 != 0)
+                   .withColumn("html", F.when(
+                       doc_id % 7 == 0,
+                       F.concat(F.col("html"), F.lit(b"x")))
+                       .otherwise(F.col("html"))))
+    prior_path = os.path.join(WORK, "prior_cdx.parquet")
+    (warc_src.cdx_index(warc_src.pack_warc_gz_files(prior_pages, 1000))
+     .write.mode("overwrite").parquet(prior_path))
+    prior_idx = spark.read.parquet(prior_path)
+
+    def run_delta() -> tuple[float, int]:
+        ck = os.path.join(WORK, f"delta_ck_{time.monotonic_ns()}")
+        sdf = stream.stream_crawl_delta(
+            spark, wsrc, prior_idx,
+            max_files_per_trigger=max(1, n_files // args.batches))
+        q = (sdf.writeStream.format("noop")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        t0 = time.time()
+        b = _await_done(q)
+        return time.time() - t0, b
+
+    run_delta()  # warmup
+    wall, b = min((run_delta() for _ in range(3)), key=lambda t: t[0])
+    out["crawl_delta_stream"] = {"rows": n_warc_docs, "files": n_files,
+                                 "sec": round(wall, 2), "micro_batches": b,
+                                 "rows_per_sec": round(n_warc_docs / wall, 1),
+                                 "sec_per_batch": round(wall / max(b, 1), 3)}
 
     user1, steal1 = _cpu_ticks()
     out["vm_user_ticks"] = user1 - user0
