@@ -193,6 +193,12 @@ def q_crawl_digest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proves delta classification, index-driven fetch completeness, AND
 # payload byte integrity in one shot. Scale shape: index⋈index delta +
 # O(refresh) member seeks — the archives are never scanned in full.
+# Random access is the right plan BECAUSE monthly refresh sets are a
+# small fraction of the crawl (most captures are 'same'); if the
+# fraction ever gets large enough that the per-archive hit plan exceeds
+# limits.MAX_DRIVER_LIST, fetch_by_index asserts loudly and the right
+# move is the scan: read_warc + LEFT SEMI join on the refresh urls
+# (tools/fetch_bench.py records the scan-vs-fetch crossover).
 # ---------------------------------------------------------------------------
 
 @register("crawl_incremental_refresh", queries.PAGES_SQL + """
